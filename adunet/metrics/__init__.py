@@ -1,0 +1,13 @@
+"""Quality metrics: PSNR/SSIM/MS-SSIM (BT.601 luma) and Dice/IoU — pure jnp."""
+
+from adunet.metrics.psnr_ssim import psnr, mse_per_image, ssim, ssim_multiscale
+from adunet.metrics.seg import dice_coefficient, iou_score
+
+__all__ = [
+    "psnr",
+    "mse_per_image",
+    "ssim",
+    "ssim_multiscale",
+    "dice_coefficient",
+    "iou_score",
+]
