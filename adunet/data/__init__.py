@@ -1,0 +1,45 @@
+"""Data layer: discovery/pairing, host IO, patch pipelines, on-device augment."""
+
+from adunet.data.io import load_rgb_image, load_rgb_image_full, load_image_stack, load_mask
+from adunet.data.discovery import (
+    find_images,
+    collect_isic_pairs,
+    normalise_isic_key,
+    canonical_key,
+    discover_pairs,
+)
+from adunet.data.patches import random_patch, random_patches, grid_patches
+from adunet.data.sr_pipeline import (
+    TrainingPatchDataset,
+    GridPatchDataset,
+    make_training_patch_dataset,
+    make_eval_patch_dataset,
+)
+from adunet.data.seg_pipeline import SegPairDataset, build_isic_dataset
+from adunet.data.augment import augment_pair_batch, random_resized_crop_pair
+from adunet.data.array_dataset import ArrayDataset, make_array_dataset
+
+__all__ = [
+    "load_rgb_image",
+    "load_rgb_image_full",
+    "load_image_stack",
+    "load_mask",
+    "find_images",
+    "collect_isic_pairs",
+    "normalise_isic_key",
+    "canonical_key",
+    "discover_pairs",
+    "random_patch",
+    "random_patches",
+    "grid_patches",
+    "TrainingPatchDataset",
+    "GridPatchDataset",
+    "make_training_patch_dataset",
+    "make_eval_patch_dataset",
+    "SegPairDataset",
+    "build_isic_dataset",
+    "augment_pair_batch",
+    "random_resized_crop_pair",
+    "ArrayDataset",
+    "make_array_dataset",
+]

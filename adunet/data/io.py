@@ -1,0 +1,122 @@
+"""Host-side image IO.
+
+Semantics follow /root/reference/shared/pipeline.py:38-76 (cv2 BGR→RGB,
+INTER_AREA square resize, float32 [0,1]) with a PIL fallback when OpenCV is
+unavailable, plus ``.npy`` support so tests and benchmarks can run without
+image codecs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from adunet.utils import sorted_alphanumeric
+
+try:  # pragma: no cover - environment probe
+    import cv2  # type: ignore
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    cv2 = None
+    _HAS_CV2 = False
+
+try:  # pragma: no cover - environment probe
+    from PIL import Image  # type: ignore
+
+    _HAS_PIL = True
+except Exception:  # pragma: no cover
+    Image = None
+    _HAS_PIL = False
+
+__all__ = ["load_rgb_image", "load_rgb_image_full", "load_image_stack", "load_mask"]
+
+
+def _read_rgb(path: Path) -> np.ndarray:
+    """Decode to RGB uint8/float array (H, W, 3)."""
+    if path.suffix == ".npy":
+        arr = np.load(str(path))
+        if arr.ndim == 2:
+            arr = np.stack([arr] * 3, axis=-1)
+        return arr
+    if _HAS_CV2:
+        img = cv2.imread(str(path), cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"Unable to read image: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if _HAS_PIL:
+        with Image.open(path) as im:
+            return np.asarray(im.convert("RGB"))
+    raise RuntimeError("No image decoder available (need cv2 or PIL).")
+
+
+def _to_float01(arr: np.ndarray) -> np.ndarray:
+    if arr.dtype == np.uint8:
+        return arr.astype(np.float32) / 255.0
+    if arr.dtype == np.uint16:
+        return arr.astype(np.float32) / 65535.0
+    return arr.astype(np.float32)
+
+
+def load_rgb_image_full(path: str | Path) -> np.ndarray:
+    """RGB float32 [0,1], native size (shared/pipeline.py:70-76)."""
+    return _to_float01(_read_rgb(Path(path)))
+
+
+def load_rgb_image(path: str | Path, size: int) -> np.ndarray:
+    """RGB float32 [0,1], square INTER_AREA resize (shared/pipeline.py:60-67)."""
+    img = _read_rgb(Path(path))
+    if _HAS_CV2:
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+        return _to_float01(img)
+    # PIL fallback: BOX filter approximates INTER_AREA
+    img = _to_float01(img)
+    from adunet.ops.resize import resize_matrix  # area weights, exact
+
+    wh = resize_matrix(img.shape[0], size, "area")
+    ww = resize_matrix(img.shape[1], size, "area")
+    return np.einsum("ih,hwc->iwc", wh, np.einsum("jw,hwc->hjc", ww, img)).astype(np.float32)
+
+
+def load_image_stack(directory: str | Path, size: int, limit: Optional[int] = None) -> np.ndarray:
+    """Directory of images → (N, size, size, 3) float32 stack
+    (shared/pipeline.py:38-57)."""
+    directory = Path(directory)
+    names = sorted_alphanumeric([p.name for p in directory.iterdir() if p.is_file()])
+    if limit is not None:
+        names = names[:limit]
+    images: List[np.ndarray] = [load_rgb_image(directory / n, size) for n in names]
+    if not images:
+        raise ValueError(f"No images found in {directory}")
+    return np.stack(images, axis=0)
+
+
+def load_mask(path: str | Path, size: int, threshold: float = 0.5) -> np.ndarray:
+    """Binary mask float32 (size, size, 1): nearest resize, 0.5-binarise
+    (Segmenation/code/train_adaptive_unet.py:147-154)."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(str(path))
+    elif _HAS_CV2:
+        arr = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+        if arr is None:
+            raise FileNotFoundError(f"Unable to read mask: {path}")
+    elif _HAS_PIL:
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("L"))
+    else:
+        raise RuntimeError("No image decoder available (need cv2 or PIL).")
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    if arr.shape[:2] != (size, size):
+        if _HAS_CV2:
+            arr = cv2.resize(arr, (size, size), interpolation=cv2.INTER_NEAREST)
+        else:
+            ys = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
+            xs = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
+            arr = arr[np.ix_(ys, xs)]
+    mask = _to_float01(arr)
+    mask = (mask > threshold).astype(np.float32)
+    return mask[..., None]

@@ -1,0 +1,79 @@
+"""Host-side patch extraction (numpy), matching shared/pipeline.py:97-174."""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+__all__ = ["random_patch", "random_patches", "grid_patches"]
+
+
+def random_patch(
+    image: np.ndarray,
+    patch_size: int,
+    *,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    if patch_size <= 0:
+        raise ValueError("patch_size must be positive.")
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError("image must be an HxWx3 RGB array.")
+    height, width = image.shape[:2]
+    if height < patch_size or width < patch_size:
+        raise ValueError("patch_size exceeds image dimensions.")
+
+    generator = rng or np.random.default_rng()
+    max_y = height - patch_size
+    max_x = width - patch_size
+    top = int(generator.integers(0, max_y + 1)) if max_y > 0 else 0
+    left = int(generator.integers(0, max_x + 1)) if max_x > 0 else 0
+    return image[top : top + patch_size, left : left + patch_size, :]
+
+
+def random_patches(
+    image: np.ndarray,
+    patch_size: int,
+    count: int,
+    *,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    if count <= 0:
+        raise ValueError("count must be positive.")
+    generator = rng or np.random.default_rng()
+    return np.stack(
+        [random_patch(image, patch_size, rng=generator) for _ in range(count)], axis=0
+    )
+
+
+def grid_patches(
+    image: np.ndarray,
+    patch_size: int,
+    *,
+    stride: Optional[int] = None,
+    drop_remainder: bool = False,
+) -> np.ndarray:
+    """Regular tiling with the reference's bottom-right fallback patch."""
+    if patch_size <= 0:
+        raise ValueError("patch_size must be positive.")
+    if image.ndim != 3 or image.shape[-1] != 3:
+        raise ValueError("image must be an HxWx3 RGB array.")
+    stride = stride or patch_size
+    if stride <= 0:
+        raise ValueError("stride must be positive.")
+
+    height, width = image.shape[:2]
+    if height < patch_size or width < patch_size:
+        raise ValueError("patch_size exceeds image dimensions.")
+
+    patches: List[np.ndarray] = []
+    for top in range(0, height - patch_size + 1, stride):
+        for left in range(0, width - patch_size + 1, stride):
+            patches.append(image[top : top + patch_size, left : left + patch_size, :])
+
+    if not patches and not drop_remainder:
+        patches.append(image[-patch_size:, -patch_size:, :])
+
+    if not patches:
+        return np.empty((0, patch_size, patch_size, 3), dtype=image.dtype)
+    return np.stack(patches, axis=0)

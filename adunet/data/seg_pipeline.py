@@ -1,0 +1,127 @@
+"""ISIC segmentation pipeline: host decode/resize, on-device augmentation.
+
+Rebuild of build_isic_dataset
+(/root/reference/Segmenation/code/train_adaptive_unet.py:193-219). The host
+decodes and AREA-resizes images / NEAREST-binarises masks (threaded,
+prefetching); geometric augmentation runs on device inside the jitted train
+step (adunet.data.augment) per the TPU-native split.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from adunet.data.discovery import collect_isic_pairs
+from adunet.data.io import load_mask, load_rgb_image
+
+__all__ = ["SegPairDataset", "build_isic_dataset"]
+
+
+class SegPairDataset:
+    """Iterator of (images, masks) float32 batches: (B,S,S,3), (B,S,S,1).
+
+    One pass per ``__iter__`` (finite); shuffled per pass when requested.
+    ``augment`` is metadata consumed by the train loop (augmentation is a
+    jitted device op here, not a host map).
+    """
+
+    def __init__(
+        self,
+        pairs: Sequence[Tuple[str, str]],
+        batch_size: int,
+        image_size: int,
+        augment: bool,
+        shuffle: bool,
+        seed: int,
+        prefetch_batches: int = 4,
+    ):
+        pairs = list(pairs)
+        if not pairs:
+            raise ValueError("pairs must be non-empty.")
+        self.pairs = pairs
+        self.batch_size = batch_size
+        self.image_size = image_size
+        self.augment = augment
+        self.shuffle = shuffle
+        self.seed = seed
+        self.prefetch_batches = prefetch_batches
+        self._epoch = 0
+        self.steps_per_epoch = math.ceil(len(pairs) / batch_size)
+
+    def __len__(self) -> int:
+        return len(self.pairs)
+
+    def _load_pair(self, image_path: str, mask_path: str) -> Tuple[np.ndarray, np.ndarray]:
+        return (
+            load_rgb_image(image_path, self.image_size),
+            load_mask(mask_path, self.image_size),
+        )
+
+    def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.pairs))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self._epoch)
+            rng.shuffle(order)
+        self._epoch += 1
+        images: List[np.ndarray] = []
+        masks: List[np.ndarray] = []
+        for idx in order:
+            img, msk = self._load_pair(*self.pairs[idx])
+            images.append(img)
+            masks.append(msk)
+            if len(images) == self.batch_size:
+                yield np.stack(images), np.stack(masks)
+                images, masks = [], []
+        if images:
+            yield np.stack(images), np.stack(masks)
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        done = object()
+
+        def producer() -> None:
+            try:
+                for batch in self._batches():
+                    q.put(batch)
+                q.put(done)
+            except Exception as exc:
+                q.put(exc)
+
+        threading.Thread(target=producer, daemon=True).start()
+        while True:
+            item = q.get()
+            if item is done:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+
+
+def build_isic_dataset(
+    image_dir,
+    mask_dir,
+    batch_size: int,
+    image_size: int,
+    augment: bool,
+    shuffle: bool,
+    seed: int,
+    limit: Optional[int] = None,
+) -> Tuple[SegPairDataset, int]:
+    """Signature-parity constructor (Segmenation trainer :193-219)."""
+    pairs = collect_isic_pairs(image_dir, mask_dir)
+    if limit is not None and limit > 0:
+        pairs = pairs[:limit]
+    ds = SegPairDataset(
+        pairs,
+        batch_size=batch_size,
+        image_size=image_size,
+        augment=augment,
+        shuffle=shuffle,
+        seed=seed,
+    )
+    return ds, len(pairs)

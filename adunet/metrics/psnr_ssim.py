@@ -25,6 +25,7 @@ __all__ = ["psnr", "mse_per_image", "ssim", "ssim_multiscale"]
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
+@jax.jit
 def mse_per_image(a: jax.Array, b: jax.Array) -> jax.Array:
     """Per-image MSE over (H, W, C); inputs (N, H, W, C)."""
     a = a.astype(jnp.float32)
@@ -32,6 +33,7 @@ def mse_per_image(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.mean(jnp.square(a - b), axis=(-3, -2, -1))
 
 
+@functools.partial(jax.jit, static_argnames=("max_val",))
 def psnr(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
     """Per-image PSNR in dB; identical images yield +inf (the reference's
     scale-0.2 eval aggregates infs deliberately, BASELINE.md)."""
@@ -97,6 +99,9 @@ def _ssim_per_channel(
     return jnp.mean(ssim_map, axis=(-3, -2)), jnp.mean(cs, axis=(-3, -2))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("max_val", "filter_size", "filter_sigma", "k1", "k2")
+)
 def ssim(
     a: jax.Array,
     b: jax.Array,
@@ -126,6 +131,10 @@ def _downsample_2x(x: jax.Array) -> jax.Array:
     return jnp.mean(x, axis=(-4, -2))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_val", "power_factors", "filter_size", "filter_sigma", "k1", "k2"),
+)
 def ssim_multiscale(
     a: jax.Array,
     b: jax.Array,

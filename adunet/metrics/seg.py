@@ -6,6 +6,8 @@ Exact semantics from /root/reference/Segmenation/code/train_adaptive_unet.py:258
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -15,6 +17,7 @@ _CLIP_LO = 1e-7
 _CLIP_HI = 1.0 - 1e-7
 
 
+@functools.partial(jax.jit, static_argnames=("smooth",))
 def dice_coefficient(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6) -> jax.Array:
     """Soft Dice over (N, H, W, C), mean over batch."""
     y_true = y_true.astype(jnp.float32)
@@ -25,6 +28,7 @@ def dice_coefficient(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6)
     return jnp.mean(dice)
 
 
+@functools.partial(jax.jit, static_argnames=("smooth",))
 def iou_score(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6) -> jax.Array:
     """Soft IoU over (N, H, W, C), mean over batch."""
     y_true = y_true.astype(jnp.float32)

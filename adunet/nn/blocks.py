@@ -1,0 +1,81 @@
+"""Shared Flax building blocks for the U-Net families.
+
+The reference has three conv-block flavors (SURVEY.md §2.5):
+- SR adaptive:   Conv3x3 → LayerNorm(channels) → ReLU, twice
+                 (Super_resolution/code/train_adaptive_unet.py:200-210)
+- Seg protocol:  Conv3x3 → BatchNorm → ReLU, twice
+                 (Segmenation/code/train_adaptive_unet.py:325-332)
+- Seg vanilla:   LayerNorm flavor again (Segmenation/code/unet_vinillia.py:42-52)
+
+Norm hyperparameters match Keras defaults (LayerNormalization eps=1e-3;
+BatchNormalization momentum=0.99, eps=1e-3). Convs use glorot-uniform init
+(the Keras Conv2D default) so training dynamics are comparable.
+
+Mixed precision follows the TPU recipe: params and norm statistics in
+float32, conv compute in ``dtype`` (bfloat16 in production).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ConvBlock", "conv3x3", "conv1x1"]
+
+_glorot = nn.initializers.glorot_uniform()
+
+
+def conv3x3(features: int, dtype: Any = jnp.float32, name: str | None = None, **kw) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (3, 3),
+        padding="SAME",
+        use_bias=True,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=_glorot,
+        name=name,
+        **kw,
+    )
+
+
+def conv1x1(features: int, dtype: Any = jnp.float32, name: str | None = None, **kw) -> nn.Conv:
+    return nn.Conv(
+        features,
+        (1, 1),
+        padding="SAME",
+        use_bias=True,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        kernel_init=_glorot,
+        name=name,
+        **kw,
+    )
+
+
+class ConvBlock(nn.Module):
+    """(Conv3x3 → Norm → ReLU) x2 at constant spatial size."""
+
+    features: int
+    norm: str = "layer"  # "layer" | "batch" | "none"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(2):
+            x = conv3x3(self.features, self.dtype, name=f"conv{i}")(x)
+            if self.norm == "layer":
+                # Keras LayerNormalization(axis=-1): eps 1e-3, learnable scale+bias.
+                x = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name=f"norm{i}")(x)
+            elif self.norm == "batch":
+                x = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.99,
+                    epsilon=1e-3,
+                    dtype=jnp.float32,
+                    name=f"norm{i}",
+                )(x)
+            x = nn.relu(x).astype(self.dtype)
+        return x

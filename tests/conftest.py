@@ -6,7 +6,9 @@ without TPU hardware (SURVEY.md §4). Must run before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (remote TPU
+# tunnel), which would run every test op over the network.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
@@ -14,3 +16,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 # Keep TF (used only as a parity oracle in tests) off any accelerator.
 os.environ.setdefault("CUDA_VISIBLE_DEVICES", "-1")
 os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+
+# Initialise the JAX CPU backend BEFORE any test module imports TensorFlow:
+# jax-import → tf-import → jax-backend-init deadlocks in this image (thread
+# pools collide); jax-init → tf-import → jax-use is fine.
+# Persistent compile cache cuts repeat-run times substantially.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+
+jax.devices()
+
