@@ -1,0 +1,17 @@
+"""Mesh construction and sharding rules."""
+
+from adunet.parallel.mesh import (
+    make_mesh,
+    replicated_sharding,
+    batch_sharding,
+    shard_batch,
+    replicate,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicated_sharding",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+]

@@ -1,0 +1,68 @@
+"""Device mesh + sharding helpers for data-parallel training.
+
+The reference has no multi-device story at all (SURVEY.md §2: every job is a
+single-GPU SLURM submission; NCCL present but never exercised). Here
+data-parallelism is first-class and TPU-native: a 1-D ``jax.sharding.Mesh``
+over the slice, batches sharded on the ``data`` axis, params replicated.
+Under ``jax.jit`` XLA inserts the gradient all-reduce as an ICI collective —
+no NCCL/MPI-style code, and the same program runs on 1 chip or a v5e-8.
+
+Scales beyond DP are available through the same entry point: ``make_mesh``
+accepts extra named axes (e.g. ``("data", "model")`` shapes) for future
+spatial/model sharding of the 138M-param deep variants.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "replicated_sharding",
+    "batch_sharding",
+    "shard_batch",
+    "replicate",
+]
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    mesh_shape: Optional[Tuple[int, ...]] = None,
+) -> Mesh:
+    """Build a mesh over the first ``n_devices`` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devices):
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} available."
+            )
+        devices = devices[:n_devices]
+    if mesh_shape is None:
+        mesh_shape = (len(devices),) + (1,) * (len(axis_names) - 1)
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names=tuple(axis_names))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    return NamedSharding(mesh, P(axis))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Device-put a host batch sharded along its leading dimension."""
+    sharding = batch_sharding(mesh, axis)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+
+def replicate(tree, mesh: Mesh):
+    """Device-put a pytree fully replicated across the mesh."""
+    sharding = replicated_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,105 @@
+"""Orbax checkpointing: best-metric retention + step-level resume.
+
+Replaces the reference's three Keras mechanisms (SURVEY.md §5): ModelCheckpoint
+(best on monitored metric), BackupAndRestore (crash resume), and whole-model
+.keras files that needed custom-object registries to reload
+(evaluate_model.py:57-91). Here checkpoints are pure pytrees
+(params/opt_state/batch_stats/step) and the architecture is rebuilt from
+config — no pickled graphs, no registry.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from adunet.train.state import TrainState
+
+__all__ = ["CheckpointManager", "state_to_pytree", "pytree_into_state"]
+
+
+def state_to_pytree(state: TrainState) -> Dict[str, Any]:
+    tree = {
+        "step": state.step,
+        "params": state.params,
+        "opt_state": state.opt_state,
+    }
+    if state.batch_stats is not None:
+        tree["batch_stats"] = state.batch_stats
+    return tree
+
+
+def pytree_into_state(state: TrainState, tree: Dict[str, Any]) -> TrainState:
+    return state.replace(
+        step=int(np.asarray(tree["step"])),
+        params=tree["params"],
+        opt_state=tree["opt_state"],
+        batch_stats=tree.get("batch_stats", state.batch_stats),
+    )
+
+
+class CheckpointManager:
+    """Best + latest checkpoint retention with metric-driven selection."""
+
+    def __init__(
+        self,
+        directory: str | Path,
+        monitor: str = "val_loss",
+        mode: str = "min",
+        max_to_keep: int = 2,
+    ):
+        self.directory = Path(directory).absolute()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.monitor = monitor
+        self.mode = mode
+        sign = 1.0 if mode == "max" else -1.0
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            best_fn=lambda metrics: sign * metrics.get(monitor, -np.inf * sign),
+            best_mode="max",
+            create=True,
+        )
+        self._mngr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, step: int, state: TrainState, metrics: Optional[Dict[str, float]] = None) -> None:
+        metrics = {k: float(v) for k, v in (metrics or {}).items() if np.isfinite(v)}
+        self._mngr.save(
+            step,
+            args=ocp.args.StandardSave(state_to_pytree(state)),
+            metrics=metrics,
+        )
+        self._mngr.wait_until_finished()
+
+    def _restore(self, step: int, state: TrainState) -> TrainState:
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_to_pytree(state))
+        tree = self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
+        return pytree_into_state(state, tree)
+
+    def restore_latest(self, state: TrainState) -> Optional[TrainState]:
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._restore(step, state)
+
+    def restore_best(self, state: TrainState) -> Optional[TrainState]:
+        step = self._mngr.best_step()
+        if step is None:
+            step = self._mngr.latest_step()
+        if step is None:
+            return None
+        return self._restore(step, state)
+
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def write_config(self, config: Dict[str, Any]) -> None:
+        (self.directory / "config.json").write_text(json.dumps(config, indent=2, default=str))
+
+    def close(self) -> None:
+        self._mngr.close()

@@ -1,0 +1,242 @@
+"""Generic fit() loop: sharded batches, early stopping, checkpoints, logging.
+
+Replaces Keras model.fit with the callback set the reference relies on
+(train_adaptive_unet.py:615-632): EarlyStopping(restore_best_weights),
+ModelCheckpoint(best on monitored metric), BackupAndRestore (resume from the
+latest step checkpoint), TensorBoard scalars — plus first-class step-time /
+throughput counters instead of the reference's post-hoc log scraping
+(SURVEY.md §5 tracing). Per-epoch rows are written to ``epoch_metrics.csv``
+in the exact schema of the reference's export_log_metrics.py output so the
+analysis/plot tooling round-trips.
+"""
+
+from __future__ import annotations
+
+import csv
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable, Dict, Iterable, List, Optional
+
+import jax
+import numpy as np
+
+from adunet.parallel.mesh import shard_batch
+from adunet.train.checkpoint import CheckpointManager
+from adunet.train.state import TrainState
+
+__all__ = ["fit", "FitResult", "EpochLog"]
+
+
+@dataclass
+class EpochLog:
+    epoch: int
+    steps: int
+    duration_s: float
+    ms_per_step: float
+    metrics: Dict[str, float]
+    val_metrics: Dict[str, float] = field(default_factory=dict)
+
+    def row(self) -> Dict[str, Any]:
+        row: Dict[str, Any] = {
+            "epoch": self.epoch,
+            "steps": self.steps,
+            "duration_s": round(self.duration_s, 3),
+            "ms_per_step": round(self.ms_per_step, 3),
+        }
+        row.update({k: v for k, v in self.metrics.items()})
+        row.update({f"val_{k}": v for k, v in self.val_metrics.items()})
+        return row
+
+
+@dataclass
+class FitResult:
+    state: TrainState
+    history: List[EpochLog]
+    best_metric: Optional[float]
+    best_epoch: Optional[int]
+    stopped_early: bool
+
+
+def _mean_of(dicts: List[Dict[str, float]], weights: List[float]) -> Dict[str, float]:
+    if not dicts:
+        return {}
+    total = sum(weights)
+    out: Dict[str, float] = {}
+    for key in dicts[0]:
+        out[key] = float(sum(d[key] * w for d, w in zip(dicts, weights)) / total)
+    return out
+
+
+def _improved(current: float, best: Optional[float], mode: str) -> bool:
+    if best is None or not np.isfinite(best):
+        return np.isfinite(current)
+    return current < best if mode == "min" else current > best
+
+
+def fit(
+    state: TrainState,
+    train_iter: Iterable,
+    train_step: Callable,
+    steps_per_epoch: int,
+    epochs: int,
+    *,
+    initial_epoch: int = 0,
+    rng: Optional[jax.Array] = None,
+    val_data: Optional[Iterable] = None,
+    val_step: Optional[Callable] = None,
+    monitor: str = "val_loss",
+    monitor_mode: str = "min",
+    patience: Optional[int] = None,
+    restore_best_weights: bool = True,
+    ckpt: Optional[CheckpointManager] = None,
+    mesh=None,
+    log_dir: Optional[str | Path] = None,
+    samples_per_step: Optional[int] = None,
+    verbose: int = 1,
+    tb_writer=None,
+) -> FitResult:
+    """Run the training loop.
+
+    - ``train_iter``: infinite iterator of host batches (array or tuple).
+    - ``train_step(state, batch, rng) -> (state, metrics)`` — jitted.
+    - ``val_data``: re-iterable of host batches; ``val_step(state, batch)``.
+    - ``mesh``: if given, host batches are device_put sharded on 'data'.
+    - ``ckpt``: best-metric checkpointing + step-level resume source.
+    """
+    rng = rng if rng is not None else jax.random.key(0)
+    history: List[EpochLog] = []
+    best_metric: Optional[float] = None
+    best_epoch: Optional[int] = None
+    best_params_host = None
+    best_stats_host = None
+    wait = 0
+    stopped_early = False
+
+    csv_writer = None
+    csv_file = None
+    if log_dir is not None:
+        log_dir = Path(log_dir)
+        log_dir.mkdir(parents=True, exist_ok=True)
+
+    train_it = iter(train_iter)
+
+    def put(batch):
+        if mesh is not None:
+            return shard_batch(batch, mesh)
+        return batch
+
+    def batch_size_of(batch) -> int:
+        leaf = jax.tree_util.tree_leaves(batch)[0]
+        return int(leaf.shape[0])
+
+    for epoch in range(initial_epoch, epochs):
+        t0 = time.perf_counter()
+        images_seen = 0
+        acc = None  # metric sums stay on device; one host sync per epoch
+        for _ in range(steps_per_epoch):
+            batch = put(next(train_it))
+            rng, step_rng = jax.random.split(rng)
+            images_seen += samples_per_step or batch_size_of(batch)
+            state, metrics = train_step(state, batch, step_rng)
+            acc = (
+                metrics
+                if acc is None
+                else jax.tree_util.tree_map(lambda a, b: a + b, acc, metrics)
+            )
+        jax.block_until_ready(acc)
+        duration = time.perf_counter() - t0
+        train_metrics = {
+            k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
+        }
+
+        val_metrics: Dict[str, float] = {}
+        if val_data is not None and val_step is not None:
+            vdicts: List[Dict[str, float]] = []
+            vweights: List[float] = []
+            for vbatch in val_data:
+                n = batch_size_of(vbatch)
+                out = val_step(state, put(vbatch))
+                vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
+                vweights.append(n)
+            val_metrics = _mean_of(vdicts, vweights)
+
+        log = EpochLog(
+            epoch=epoch + 1,
+            steps=steps_per_epoch,
+            duration_s=duration,
+            ms_per_step=1000.0 * duration / max(steps_per_epoch, 1),
+            metrics=train_metrics,
+            val_metrics=val_metrics,
+        )
+        history.append(log)
+
+        if verbose:
+            parts = [f"{k}: {v:.4f}" for k, v in train_metrics.items()]
+            parts += [f"val_{k}: {v:.4f}" for k, v in val_metrics.items()]
+            ips = images_seen / duration
+            print(
+                f"Epoch {epoch + 1}/{epochs} - {duration:.1f}s - "
+                f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts),
+                flush=True,
+            )
+
+        if log_dir is not None:
+            row = log.row()
+            if csv_writer is None:
+                csv_file = open(log_dir / "epoch_metrics.csv", "a", newline="")
+                csv_writer = csv.DictWriter(csv_file, fieldnames=list(row.keys()))
+                if csv_file.tell() == 0:
+                    csv_writer.writeheader()
+            csv_writer.writerow(row)
+            csv_file.flush()
+        if tb_writer is not None:
+            for k, v in train_metrics.items():
+                tb_writer.add_scalar(f"train/{k}", v, epoch + 1)
+            for k, v in val_metrics.items():
+                tb_writer.add_scalar(f"val/{k}", v, epoch + 1)
+            tb_writer.add_scalar("perf/ms_per_step", log.ms_per_step, epoch + 1)
+            tb_writer.add_scalar("perf/images_per_sec", images_seen / duration, epoch + 1)
+
+        monitored_pool = {**train_metrics, **{f"val_{k}": v for k, v in val_metrics.items()}}
+        current = monitored_pool.get(monitor)
+
+        if ckpt is not None:
+            ckpt.save(epoch + 1, state, metrics=monitored_pool)
+
+        if current is not None:
+            if _improved(current, best_metric, monitor_mode):
+                best_metric = current
+                best_epoch = epoch + 1
+                wait = 0
+                if restore_best_weights:
+                    best_params_host = jax.device_get(state.params)
+                    if state.batch_stats is not None:
+                        best_stats_host = jax.device_get(state.batch_stats)
+            else:
+                wait += 1
+                if patience is not None and patience > 0 and wait >= patience:
+                    stopped_early = True
+                    if verbose:
+                        print(
+                            f"Early stopping at epoch {epoch + 1} "
+                            f"(best {monitor}={best_metric:.4f} @ epoch {best_epoch}).",
+                            flush=True,
+                        )
+                    break
+
+    if restore_best_weights and best_params_host is not None:
+        state = state.replace(params=jax.device_put(best_params_host))
+        if best_stats_host is not None:
+            state = state.replace(batch_stats=jax.device_put(best_stats_host))
+
+    if csv_file is not None:
+        csv_file.close()
+
+    return FitResult(
+        state=state,
+        history=history,
+        best_metric=best_metric,
+        best_epoch=best_epoch,
+        stopped_early=stopped_early,
+    )

@@ -1,0 +1,35 @@
+"""LR schedules and optimizer construction.
+
+``cosine_decay_schedule`` reproduces Keras CosineDecay(initial_lr,
+decay_steps, alpha) used by seg protocol A
+(/root/reference/Segmenation/code/train_adaptive_unet.py:451-460).
+Adam hyperparameters are the Keras defaults (b1=0.9, b2=0.999, eps=1e-7).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import optax
+
+__all__ = ["cosine_decay_schedule", "make_optimizer"]
+
+
+def cosine_decay_schedule(initial_lr: float, decay_steps: int, alpha: float = 0.0):
+    def schedule(step):
+        frac = jnp.minimum(step / max(decay_steps, 1), 1.0)
+        cosine = 0.5 * (1.0 + jnp.cos(jnp.pi * frac))
+        return initial_lr * ((1.0 - alpha) * cosine + alpha)
+
+    return schedule
+
+
+def make_optimizer(
+    learning_rate,
+    *,
+    cosine_decay_steps: int | None = None,
+    cosine_alpha: float = 0.0,
+) -> optax.GradientTransformation:
+    """Adam with Keras-default epsilon; optional cosine schedule."""
+    if cosine_decay_steps is not None:
+        learning_rate = cosine_decay_schedule(learning_rate, cosine_decay_steps, cosine_alpha)
+    return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)

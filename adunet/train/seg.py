@@ -1,0 +1,83 @@
+"""Segmentation train/eval steps with on-device augmentation and BN stats.
+
+Rebuild of the protocol trainer's hot loops
+(/root/reference/Segmenation/code/train_adaptive_unet.py:538-546): one XLA
+program per step covering augmentation (rot90/flips/scale-jitter-crop via
+static-shape coordinate sampling), forward, hybrid loss, backward, Adam, and
+the BatchNorm running-statistics update (Keras momentum semantics via the
+flax mutable collection).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict
+
+import jax
+import jax.numpy as jnp
+
+from adunet.data.augment import augment_pair_batch
+from adunet.metrics.seg import dice_coefficient, iou_score
+from adunet.train.state import TrainState
+
+__all__ = ["make_seg_train_step", "make_seg_eval_step"]
+
+
+def make_seg_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    augment: bool = True,
+    donate: bool = True,
+):
+    """Returns jitted (state, images, masks, rng) -> (state, metrics)."""
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        images, masks = batch
+        if augment:
+            images, masks = augment_pair_batch(images, masks, rng)
+
+        def compute_loss(params):
+            variables = {"params": params}
+            mutable = []
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                mutable = ["batch_stats"]
+            out = state.apply_fn(variables, images, train=True, mutable=mutable)
+            pred, new_vars = out if mutable else (out, {})
+            loss = loss_fn(masks, pred)
+            return loss, (pred, new_vars.get("batch_stats"))
+
+        (loss, (pred, new_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
+            state.params
+        )
+        new_state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=new_stats)
+        metrics = {
+            "loss": loss,
+            "dice": dice_coefficient(masks, pred),
+            "iou": iou_score(masks, pred),
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_seg_eval_step(model, loss_fn: Callable[[jax.Array, jax.Array], jax.Array]):
+    """Returns jitted (state, images, masks) -> batch metrics (no augment,
+    BN running averages)."""
+
+    @partial(jax.jit)
+    def step(state: TrainState, batch) -> Dict[str, jax.Array]:
+        images, masks = batch
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        pred = state.apply_fn(variables, images, train=False)
+        return {
+            "loss": loss_fn(masks, pred),
+            "dice": dice_coefficient(masks, pred),
+            "iou": iou_score(masks, pred),
+        }
+
+    return step

@@ -1,0 +1,116 @@
+"""SR train/eval steps — single jitted programs covering the whole hot path.
+
+The reference's step is Keras fit() over host-degraded patches
+(Super_resolution/code/train_adaptive_unet.py:622-632, HOT LOOP #2) with the
+LR degradation in Python/cv2 threads (HOT LOOP #1). Here both loops fuse into
+one XLA program: the HR batch lands in HBM once; degradation (matmul resize),
+forward, loss, backward and Adam all run on-chip. Under a Mesh with the batch
+sharded on 'data' and params replicated, XLA inserts the gradient all-reduce
+over ICI automatically.
+
+Training degrades at DATA_LR_SHRINK=0.5 regardless of model scale, matching
+the reference's deliberate constant (train_adaptive_unet.py:60,438); the
+evaluator degrades at the requested scale (evaluate_model.py:233-239). Both
+conventions are explicit arguments here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from adunet.metrics.psnr_ssim import mse_per_image, psnr, ssim, ssim_multiscale
+from adunet.ops import degrade, rgb_to_luma_bt601
+from adunet.train.state import TrainState
+
+__all__ = ["sr_loss_and_metrics", "make_sr_train_step", "make_sr_eval_step", "DATA_LR_SHRINK"]
+
+# constant LR degradation factor for training (reference :60)
+DATA_LR_SHRINK = 0.5
+
+
+def sr_loss_and_metrics(loss_fn, hr, pred) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    loss = loss_fn(hr, pred)
+    clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+    return loss, {"psnr": jnp.mean(psnr(hr.astype(jnp.float32), clipped))}
+
+
+def make_sr_train_step(
+    model,
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    data_scale: float = DATA_LR_SHRINK,
+    donate: bool = True,
+):
+    """Returns jitted (state, hr_batch) -> (state, metrics).
+
+    ``hr_batch``: (B, P, P, 3) float32 HR patches in [0, 1]. LR inputs are
+    synthesised on device with the cv2-exact degradation.
+    """
+
+    def step(state: TrainState, hr_batch: jax.Array, rng: jax.Array | None = None):
+        del rng  # SR training is deterministic given the host patch stream
+        lr_batch = degrade(hr_batch, data_scale, hr_batch.shape[-2])
+
+        def compute_loss(params):
+            pred = state.apply_fn({"params": params}, lr_batch)
+            return sr_loss_and_metrics(loss_fn, hr_batch, pred)
+
+        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **metrics}
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_sr_eval_step(model, eval_scale: float, eval_shave: int):
+    """Returns jitted (state, hr_batch) -> per-patch metric vectors.
+
+    Implements the reference's eval tail (train_adaptive_unet.py:673-693 /
+    evaluate_model.py:106-121): degrade at ``eval_scale``, predict, clip,
+    BT.601 luma, border shave, PSNR/SSIM/MS-SSIM/MSE per patch.
+    """
+
+    @partial(jax.jit)
+    def step(state: TrainState, hr_batch: jax.Array):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        lr_batch = degrade(hr_batch, eval_scale, hr_batch.shape[-2])
+        pred = state.apply_fn(variables, lr_batch)
+        pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+        hr = hr_batch.astype(jnp.float32)
+
+        pred_y = rgb_to_luma_bt601(pred)
+        hr_y = rgb_to_luma_bt601(hr)
+        if eval_shave > 0:
+            pred_y = pred_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
+            hr_y = hr_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
+
+        return {
+            "psnr_y": psnr(hr_y, pred_y),
+            "ssim_y": ssim(hr_y, pred_y),
+            "msssim_y": ssim_multiscale(hr_y, pred_y),
+            "mse_y": mse_per_image(hr_y, pred_y),
+        }
+
+    return step
+
+
+def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK):
+    """Validation loss/psnr on grid patches, matching fit()'s val metrics."""
+
+    @partial(jax.jit)
+    def step(state: TrainState, hr_batch: jax.Array):
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        lr_batch = degrade(hr_batch, data_scale, hr_batch.shape[-2])
+        pred = state.apply_fn(variables, lr_batch)
+        loss, metrics = sr_loss_and_metrics(loss_fn, hr_batch, pred)
+        return {"loss": loss, **metrics}
+
+    return step

@@ -26,5 +26,10 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax  # noqa: E402
 
+# The image's sitecustomize registers the 'axon' remote-TPU plugin and calls
+# jax.config.update("jax_platforms", "axon,cpu"), which overrides the
+# JAX_PLATFORMS env var — every op would silently run over the TPU tunnel
+# (with ~2-minute remote compiles). Reset it before any backend initialises.
+jax.config.update("jax_platforms", "cpu")
 jax.devices()
 

@@ -1,0 +1,172 @@
+"""End-to-end training tests: loss decreases, DP across 8 virtual devices,
+checkpoint save/restore, early stopping."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adunet.losses import build_losses_and_metrics, make_hybrid_ce_dice_loss
+from adunet.models import build_super_resolution_unet, build_adaptive_depth_unet
+from adunet.parallel import make_mesh, replicate, shard_batch
+from adunet.train import (
+    CheckpointManager,
+    create_train_state,
+    fit,
+    make_optimizer,
+    make_seg_eval_step,
+    make_seg_train_step,
+    make_sr_train_step,
+    make_sr_val_step,
+    cosine_decay_schedule,
+)
+
+
+def _synthetic_hr(n=16, size=32, seed=0):
+    """Smooth random images in [0,1] so degradation leaves structure."""
+    rng = np.random.default_rng(seed)
+    coarse = rng.random((n, 8, 8, 3), dtype=np.float32)
+    up = np.repeat(np.repeat(coarse, size // 8, axis=1), size // 8, axis=2)
+    return np.clip(up + 0.05 * rng.standard_normal((n, size, size, 3)), 0, 1).astype(np.float32)
+
+
+def _loop(arrays, batch):
+    while True:
+        for i in range(0, arrays.shape[0], batch):
+            if i + batch <= arrays.shape[0]:
+                yield arrays[i : i + batch]
+
+
+def test_sr_training_reduces_loss():
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr()
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+
+    losses = []
+    it = _loop(hr, 8)
+    for i in range(20):
+        state, metrics = step(state, jnp.asarray(next(it)), None)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses[-1])
+
+
+def test_sr_data_parallel_8dev_matches_single_device():
+    """Same data, same init → identical loss whether replicated over 8 CPU
+    devices or on one — XLA's DP all-reduce is exact here."""
+    assert jax.device_count() >= 8
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=16)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+
+    # single device
+    state1 = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    step1 = make_sr_train_step(model, loss_fn, donate=False)
+    s1 = state1
+    for i in range(3):
+        s1, m1 = step1(s1, jnp.asarray(hr[:16]), None)
+
+    # 8-device data parallel
+    mesh = make_mesh(8)
+    state8 = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    state8 = replicate(state8, mesh)
+    step8 = make_sr_train_step(model, loss_fn, donate=False)
+    s8 = state8
+    for i in range(3):
+        batch = shard_batch(jnp.asarray(hr[:16]), mesh)
+        s8, m8 = step8(s8, batch, None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l8 = jax.tree_util.tree_leaves(s8.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8), atol=1e-5)
+
+
+def test_seg_training_with_bn_and_augment():
+    model = build_adaptive_depth_unet(input_size=32, base_channels=8, depth=2)
+    rng = np.random.default_rng(0)
+    images = rng.random((8, 32, 32, 3), dtype=np.float32)
+    masks = (rng.random((8, 32, 32, 1)) > 0.5).astype(np.float32)
+    state = create_train_state(
+        model, jax.random.key(0), images[:2], make_optimizer(1e-3), train=False
+    )
+    assert state.batch_stats is not None
+    loss_fn = make_hybrid_ce_dice_loss(0.4, 0.6)
+    step = make_seg_train_step(model, loss_fn, augment=True, donate=False)
+
+    old_stats = jax.device_get(state.batch_stats)
+    state, metrics = step(state, (jnp.asarray(images), jnp.asarray(masks)), jax.random.key(1))
+    new_stats = jax.device_get(state.batch_stats)
+    # BN running stats must move
+    diffs = jax.tree_util.tree_map(lambda a, b: float(np.abs(a - b).max()), old_stats, new_stats)
+    assert max(jax.tree_util.tree_leaves(diffs)) > 0
+    assert np.isfinite(float(metrics["loss"]))
+    assert 0 <= float(metrics["dice"]) <= 1
+
+    eval_step = make_seg_eval_step(model, loss_fn)
+    out = eval_step(state, (jnp.asarray(images), jnp.asarray(masks)))
+    assert set(out) == {"loss", "dice", "iou"}
+
+
+def test_fit_loop_early_stop_and_restore_best(tmp_path):
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+    val_step = make_sr_val_step(model, loss_fn)
+
+    result = fit(
+        state,
+        _loop(hr, 4),
+        step,
+        steps_per_epoch=2,
+        epochs=5,
+        val_data=[hr[:4]],
+        val_step=val_step,
+        monitor="val_loss",
+        monitor_mode="min",
+        patience=2,
+        log_dir=tmp_path,
+        verbose=0,
+    )
+    assert len(result.history) >= 1
+    assert (tmp_path / "epoch_metrics.csv").exists()
+    rows = (tmp_path / "epoch_metrics.csv").read_text().strip().splitlines()
+    assert rows[0].startswith("epoch,steps,duration_s,ms_per_step,loss,psnr,val_loss,val_psnr")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=4)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+    state, _ = step(state, jnp.asarray(hr), None)
+
+    ckpt = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", mode="min")
+    ckpt.save(1, state, metrics={"val_loss": 0.5})
+    state2, _ = step(state, jnp.asarray(hr), None)
+    ckpt.save(2, state2, metrics={"val_loss": 0.7})
+
+    fresh = create_train_state(model, jax.random.key(42), hr[:2], make_optimizer(1e-3))
+    restored = ckpt.restore_latest(fresh)
+    assert restored is not None
+    assert int(restored.step) == int(state2.step)
+    best = ckpt.restore_best(fresh)
+    # best val_loss was at step 1
+    l_best = jax.tree_util.tree_leaves(best.params)[0]
+    l_s1 = jax.tree_util.tree_leaves(state.params)[0]
+    np.testing.assert_allclose(np.asarray(l_best), np.asarray(l_s1))
+    ckpt.close()
+
+
+def test_cosine_schedule_matches_keras_semantics():
+    sched = cosine_decay_schedule(1e-3, decay_steps=100, alpha=0.0)
+    assert float(sched(0)) == pytest.approx(1e-3)
+    assert float(sched(50)) == pytest.approx(5e-4, rel=1e-6)
+    assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
+    assert float(sched(200)) == pytest.approx(0.0, abs=1e-9)  # clamped past end
