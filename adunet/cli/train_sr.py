@@ -1,0 +1,294 @@
+"""Adaptive-depth SR U-Net training CLI.
+
+TPU-native rebuild of the reference's primary entry point
+(/root/reference/Super_resolution/code/train_adaptive_unet.py, call stack
+SURVEY.md §3.1): arg validation → file split → patch datasets → model build
+→ train under a data-parallel mesh → post-hoc Y-channel eval, writing the
+same run artifacts (config.json, model_summary.txt, epoch_metrics.csv,
+TensorBoard scalars, best checkpoint, eval scalars).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import math
+from datetime import datetime
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train adaptive-depth U-Net for super-resolution (TPU).")
+    parser.add_argument("--scale", type=float, required=True, help="Downscale factor (0 < scale < 1).")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--loss", type=str, default="charbonnier", choices=["charbonnier", "l1", "combined"])
+    parser.add_argument("--patience", type=int, default=10)
+    parser.add_argument("--val_split", type=float, default=0.1)
+    parser.add_argument("--test_split", type=float, default=0.1)
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--patch_size", type=int, default=256)
+    parser.add_argument("--patches_per_image", type=int, default=4)
+    parser.add_argument("--eval_stride", type=int, default=None)
+    parser.add_argument("--shuffle_buffer", type=int, default=1024)
+    parser.add_argument("--eval_shave", type=int, default=None)
+    parser.add_argument("--depth_override", type=int, default=None)
+    parser.add_argument("--max_depth", type=int, default=7)
+    parser.add_argument("--base_channels", type=int, default=64)
+    parser.add_argument("--residual_head_channels", type=int, default=64)
+    parser.add_argument("--mixed_precision", action="store_true", help="bf16 compute / f32 params.")
+    parser.add_argument("--remat", action="store_true", help="Rematerialise conv blocks (deep models).")
+    parser.add_argument("--consistent_degradation", action="store_true",
+                        help="Train-time LR degradation at --scale instead of the reference's constant 0.5.")
+    parser.add_argument("--model_dir", type=str, default="runs/models")
+    parser.add_argument("--log_dir", type=str, default="runs/logs")
+    parser.add_argument("--run_name", type=str, default=None)
+    parser.add_argument("--high_res_dir", type=str, required=False, default=None)
+    parser.add_argument("--image_suffix", type=str, default=".png")
+    parser.add_argument("--low_res_dir", type=str, default=None,
+                        help="Ignored in patch mode; LR patches are synthesised on the fly.")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="Checkpoint directory to resume from (Orbax root).")
+    parser.add_argument("--initial_epoch", type=int, default=0)
+    parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--preview_patches", type=int, default=3)
+    return parser.parse_args(argv)
+
+
+def config_from_args(args: argparse.Namespace):
+    from adunet.configs import SRTrainConfig
+
+    fields = {f.name for f in dataclasses.fields(SRTrainConfig)}
+    kwargs = {k: v for k, v in vars(args).items() if k in fields}
+    cfg = SRTrainConfig(**kwargs)
+    cfg.validate()
+    return cfg
+
+
+def train(cfg) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.data import find_images, make_eval_patch_dataset, make_training_patch_dataset
+    from adunet.evaluate import infer_eval_shave
+    from adunet.losses import build_losses_and_metrics, make_perceptual_fn
+    from adunet.models import build_super_resolution_unet
+    from adunet.parallel import make_mesh, replicate
+    from adunet.train import (
+        CheckpointManager,
+        create_train_state,
+        fit,
+        make_optimizer,
+        make_sr_eval_step,
+        make_sr_train_step,
+        make_sr_val_step,
+    )
+    from adunet.utils import split_indices
+
+    if cfg.high_res_dir is None:
+        raise ValueError("--high_res_dir is required (no cluster default paths in this build).")
+
+    hr_paths = find_images(cfg.high_res_dir, cfg.image_suffix, cfg.limit)
+
+    train_split = 1.0 - (cfg.val_split + cfg.test_split)
+    train_idx, val_idx, test_idx = split_indices(
+        len(hr_paths), train_split, cfg.val_split, cfg.test_split, cfg.seed
+    )
+    train_paths = [hr_paths[i] for i in train_idx]
+    val_paths = [hr_paths[i] for i in val_idx]
+    test_paths = [hr_paths[i] for i in test_idx]
+
+    degrade_scale = cfg.train_degrade_scale()
+    train_ds, train_patch_count = make_training_patch_dataset(
+        train_paths,
+        patch_size=cfg.patch_size,
+        patches_per_image=cfg.patches_per_image,
+        scale=degrade_scale,
+        batch_size=cfg.batch_size,
+        seed=cfg.seed,
+        shuffle_buffer=cfg.shuffle_buffer,
+    )
+    steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
+
+    val_ds = None
+    if val_paths:
+        val_ds, val_patch_count, _ = make_eval_patch_dataset(
+            val_paths,
+            patch_size=cfg.patch_size,
+            scale=degrade_scale,
+            batch_size=cfg.batch_size,
+            stride=cfg.eval_stride,
+        )
+
+    dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
+    model, info = build_super_resolution_unet(
+        scale=cfg.scale,
+        base_channels=cfg.base_channels,
+        residual_head_channels=cfg.residual_head_channels,
+        depth_override=cfg.depth_override,
+        input_size=cfg.patch_size,
+        max_depth=cfg.max_depth,
+        dtype=dtype,
+        remat=cfg.remat,
+    )
+
+    perceptual_fn = None
+    if cfg.loss == "combined":
+        perceptual_fn = make_perceptual_fn(input_size=cfg.patch_size, dtype=dtype)
+    loss_fn, _metrics = build_losses_and_metrics(cfg.loss, perceptual_fn=perceptual_fn)
+
+    mesh = make_mesh(cfg.n_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    if cfg.batch_size % n_dev != 0:
+        raise ValueError(
+            f"batch_size={cfg.batch_size} must be divisible by the {n_dev}-device mesh; "
+            "pass --n_devices or adjust --batch_size."
+        )
+
+    sample = jnp.zeros((cfg.batch_size, cfg.patch_size, cfg.patch_size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(cfg.seed), sample[:1], make_optimizer(cfg.learning_rate))
+    state = replicate(state, mesh)
+
+    # params summary (model_summary.txt equivalent)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    timestamp = datetime.now().strftime("%Y%m%d-%H%M%S")
+    inferred = f"scale{cfg.scale:.2f}_bs{cfg.batch_size}_lr{cfg.learning_rate:.0e}_{timestamp}"
+    run_name = cfg.run_name or inferred
+    run_dir = Path(cfg.log_dir).expanduser() / run_name
+    run_dir.mkdir(parents=True, exist_ok=True)
+    model_dir = Path(cfg.model_dir).expanduser()
+    model_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = model_dir / f"unet_adaptive_scale{cfg.scale:.2f}_depth{info['depth']}"
+
+    config_payload = {
+        **dataclasses.asdict(cfg),
+        "depth": info["depth"],
+        "bottleneck_size": info["bottleneck_size"],
+        "n_params": n_params,
+        "n_devices": n_dev,
+        "train_images": len(train_paths),
+        "val_images": len(val_paths),
+        "test_images": len(test_paths),
+        "train_patches_per_epoch": int(train_patch_count),
+        "steps_per_epoch": int(steps_per_epoch),
+        "low_res_mode": "synthetic_patches",
+        "created_at": timestamp,
+    }
+    (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
+    (run_dir / "model_summary.txt").write_text(
+        f"{model!r}\nTotal params: {n_params:,}\ndepth: {info['depth']}\n"
+        f"bottleneck: {info['bottleneck_size']}px\n"
+    )
+    print(f"Model: depth={info['depth']} params={n_params:,} devices={n_dev}")
+
+    ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
+    ckpt.write_config(config_payload)
+
+    initial_epoch = cfg.initial_epoch
+    if cfg.resume_from:
+        resume_mngr = CheckpointManager(Path(cfg.resume_from).expanduser(), monitor="val_loss", mode="min")
+        restored = resume_mngr.restore_latest(state)
+        if restored is None:
+            raise FileNotFoundError(f"--resume_from {cfg.resume_from} contains no checkpoints.")
+        state = replicate(restored, mesh)
+        last_step = resume_mngr.latest_step() or 0
+        if initial_epoch == 0:
+            initial_epoch = int(last_step)
+            print(f"[info] resuming from epoch {initial_epoch} (checkpoint step).")
+    elif initial_epoch > 0:
+        print("[warn] --initial_epoch was set without --resume_from; training will skip "
+              "the initial epochs but start from random weights.")
+
+    try:
+        from tensorboardX import SummaryWriter
+
+        tb_writer = SummaryWriter(str(run_dir))
+    except Exception:
+        tb_writer = None
+
+    train_step = make_sr_train_step(model, loss_fn, data_scale=degrade_scale)
+    val_step = make_sr_val_step(model, loss_fn, data_scale=degrade_scale)
+
+    result = fit(
+        state,
+        train_ds,
+        train_step,
+        steps_per_epoch=steps_per_epoch,
+        epochs=cfg.epochs,
+        initial_epoch=initial_epoch,
+        rng=jax.random.key(cfg.seed),
+        val_data=val_ds,
+        val_step=val_step,
+        monitor="val_loss",
+        monitor_mode="min",
+        patience=cfg.patience,
+        restore_best_weights=True,
+        ckpt=ckpt,
+        mesh=mesh,
+        log_dir=run_dir,
+        tb_writer=tb_writer,
+    )
+    state = result.state
+    print("Training complete.")
+    print(f"Model info: {info}")
+    print(f"Checkpoints at: {ckpt_dir}")
+
+    # post-training Y-channel eval (reference :673-721)
+    eval_shave = infer_eval_shave(cfg.scale, cfg.eval_shave)
+    if eval_shave * 2 >= cfg.patch_size and cfg.patch_size > 0:
+        adjusted = max(0, (cfg.patch_size // 2) - 1)
+        print(f"[warn] eval_shave={eval_shave} removes the full frame; reducing to {adjusted}.")
+        eval_shave = adjusted
+
+    from adunet.evaluate import evaluate_sr
+
+    final_metrics = {}
+    for name, paths in (("Validation", val_paths), ("Test", test_paths)):
+        if not paths:
+            continue
+        ds, _, _labels = make_eval_patch_dataset(
+            paths,
+            patch_size=cfg.patch_size,
+            scale=degrade_scale,
+            batch_size=cfg.batch_size,
+            stride=cfg.eval_stride,
+        )
+        summary, _rows = evaluate_sr(state, ds, eval_scale=degrade_scale, eval_shave=eval_shave)
+        print(f"{name} patches evaluated: {summary.samples}")
+        print(f"  MSE(Y)     : {summary.mse_mean:.6f} +/- {summary.mse_std:.6f}")
+        print(f"  PSNR(Y)    : {summary.psnr_mean:.4f} +/- {summary.psnr_std:.4f} dB")
+        print(f"  SSIM(Y)    : {summary.ssim_mean:.4f} +/- {summary.ssim_std:.4f}")
+        print(f"  MS-SSIM(Y) : {summary.msssim_mean:.4f} +/- {summary.msssim_std:.4f}")
+        final_metrics[name.lower()] = dataclasses.asdict(summary)
+        if tb_writer is not None:
+            prefix = name.lower()
+            step = len(result.history)
+            tb_writer.add_scalar(f"eval/{prefix}_mse_y", summary.mse_mean, step)
+            tb_writer.add_scalar(f"eval/{prefix}_psnr_y", summary.psnr_mean, step)
+            tb_writer.add_scalar(f"eval/{prefix}_ssim_y", summary.ssim_mean, step)
+            tb_writer.add_scalar(f"eval/{prefix}_msssim_y", summary.msssim_mean, step)
+
+    if tb_writer is not None:
+        tb_writer.close()
+    ckpt.close()
+    return {"run_dir": str(run_dir), "ckpt_dir": str(ckpt_dir), "eval": final_metrics,
+            "history_epochs": len(result.history), "best_epoch": result.best_epoch}
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    args = parse_args(argv)
+    if args.low_res_dir:
+        print("[info] --low_res_dir is ignored in patch mode; LR patches are generated on the fly.")
+    cfg = config_from_args(args)
+    train(cfg)
+
+
+if __name__ == "__main__":
+    main()

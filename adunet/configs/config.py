@@ -1,0 +1,168 @@
+"""Dataclass config tree with JSON serialisation.
+
+Replaces the reference's three config tiers (dataset_paths constants →
+argparse → sbatch env overrides, SURVEY.md §5) with one typed tree. Every
+run serialises its resolved config to ``config.json`` like the reference
+(train_adaptive_unet.py:541-569). Protocol presets mirror
+Segmenation/code/train_adaptive_unet.py:370-403 exactly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional
+
+__all__ = ["SRTrainConfig", "SegTrainConfig", "ProtocolConfig", "PROTOCOLS", "config_to_json"]
+
+
+def config_to_json(cfg: Any, **extra: Any) -> str:
+    payload = dataclasses.asdict(cfg) if dataclasses.is_dataclass(cfg) else dict(cfg)
+    payload.update(extra)
+    return json.dumps(payload, indent=2, default=str)
+
+
+@dataclass
+class SRTrainConfig:
+    """Adaptive SR trainer config — flag-parity with
+    Super_resolution/code/train_adaptive_unet.py:725-804."""
+
+    scale: float
+    batch_size: int = 4
+    epochs: int = 100
+    learning_rate: float = 1e-4
+    loss: str = "charbonnier"  # charbonnier | l1 | combined
+    patience: int = 10
+    val_split: float = 0.1
+    test_split: float = 0.1
+    limit: Optional[int] = None
+    seed: int = 1234
+    patch_size: int = 256
+    patches_per_image: int = 4
+    eval_stride: Optional[int] = None
+    shuffle_buffer: int = 1024
+    eval_shave: Optional[int] = None
+    depth_override: Optional[int] = None
+    max_depth: int = 7
+    mixed_precision: bool = False  # bf16 compute / f32 params on TPU
+    base_channels: int = 64
+    residual_head_channels: int = 64
+    model_dir: str = "runs/models"
+    log_dir: str = "runs/logs"
+    run_name: Optional[str] = None
+    high_res_dir: Optional[str] = None
+    image_suffix: str = ".png"
+    resume_from: Optional[str] = None
+    initial_epoch: int = 0
+    # Reference quirk made explicit (SURVEY.md §2.5): training degrades at a
+    # constant 0.5 regardless of --scale; the evaluator degrades at --scale.
+    # Set consistent_degradation=True to train at the model scale instead.
+    data_lr_shrink: float = 0.5
+    consistent_degradation: bool = False
+    remat: bool = False
+    n_devices: Optional[int] = None  # None = all visible devices
+
+    def train_degrade_scale(self) -> float:
+        return self.scale if self.consistent_degradation else self.data_lr_shrink
+
+    def validate(self) -> None:
+        if self.patch_size <= 0:
+            raise ValueError("patch_size must be a positive integer.")
+        if self.patches_per_image <= 0:
+            raise ValueError("patches_per_image must be positive.")
+        if self.eval_stride is not None and self.eval_stride <= 0:
+            raise ValueError("eval_stride must be positive when provided.")
+        if self.shuffle_buffer < 0:
+            raise ValueError("shuffle_buffer must be non-negative.")
+        if self.max_depth < 1:
+            raise ValueError("max_depth must be at least 1.")
+        if self.initial_epoch < 0:
+            raise ValueError("initial_epoch must be non-negative.")
+        if self.initial_epoch >= self.epochs:
+            raise ValueError("initial_epoch must be smaller than epochs to resume training.")
+        if not 0 < self.scale < 1:
+            raise ValueError("scale must be in (0, 1).")
+        train_split = 1.0 - (self.val_split + self.test_split)
+        if train_split <= 0:
+            raise ValueError("Validation and test splits leave no room for training data.")
+
+
+@dataclass
+class ProtocolConfig:
+    """Seg training protocol preset (Segmenation trainer :370-403)."""
+
+    key: str
+    description: str
+    loss: str  # "hybrid_ce_dice(a,b)" | "bce_dice(w1,w2)" encoded by fields below
+    loss_alpha: float
+    loss_beta: float
+    initial_lr: float
+    epochs: int
+    batch_size: int
+    cosine_schedule: bool
+    early_stopping_patience: Optional[int]
+
+
+PROTOCOLS: Dict[str, ProtocolConfig] = {
+    "A": ProtocolConfig(
+        key="A",
+        description="MSCA-UNet hybrid loss (0.4*CE + 0.6*Dice) with cosine annealing",
+        loss="hybrid_ce_dice",
+        loss_alpha=0.4,
+        loss_beta=0.6,
+        initial_lr=1e-3,
+        epochs=100,
+        batch_size=8,
+        cosine_schedule=True,
+        early_stopping_patience=15,
+    ),
+    "B": ProtocolConfig(
+        key="B",
+        description="D2HU-Net BCE+Dice loss (0.5*BCE + 1.0*Dice)",
+        loss="bce_dice",
+        loss_alpha=0.5,
+        loss_beta=1.0,
+        initial_lr=3e-4,
+        epochs=200,
+        batch_size=16,
+        cosine_schedule=False,
+        early_stopping_patience=None,
+    ),
+}
+
+
+@dataclass
+class SegTrainConfig:
+    """Protocol seg trainer config — flag-parity with
+    Segmenation/code/train_adaptive_unet.py:583-607."""
+
+    protocol: str = "A"
+    epochs: int = 0  # 0 keeps protocol default
+    batch_size: int = 0  # 0 keeps protocol default
+    base_channels: int = 64
+    depth: int = 4
+    image_size: int = 256
+    seed: int = 42
+    patience: Optional[int] = None  # None uses protocol default
+    mixed_precision: bool = False
+    model_dir: str = "runs/models"
+    log_dir: str = "runs/logs"
+    run_name: Optional[str] = None
+    train_images: Optional[str] = None
+    train_masks: Optional[str] = None
+    val_images: Optional[str] = None
+    val_masks: Optional[str] = None
+    limit: Optional[int] = None
+    threshold: float = 0.5
+    augment: bool = True
+    n_devices: Optional[int] = None
+
+    def resolved(self) -> "SegTrainConfig":
+        proto = PROTOCOLS[self.protocol]
+        return dataclasses.replace(
+            self,
+            epochs=self.epochs or proto.epochs,
+            batch_size=self.batch_size or proto.batch_size,
+            patience=self.patience if self.patience is not None else proto.early_stopping_patience,
+        )

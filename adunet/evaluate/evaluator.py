@@ -1,0 +1,156 @@
+"""Offline SR evaluator — reference-schema reports from a jitted metric tail.
+
+Rebuild of /root/reference/Super_resolution/code/evaluate_model.py: tile the
+validation images into a patch grid, synthesise LR at the requested scale,
+predict, compute Y-channel MSE/PSNR/SSIM/MS-SSIM with border shave, and write
+``config.json`` + ``metrics.json`` + ``per_image_metrics.csv`` in the exact
+schema of the reference so its analysis/plot tooling round-trips.
+
+TPU-native differences: degradation + forward + metrics are one jitted
+program per batch shape; ragged final batches are padded to the compiled
+shape and the padded rows dropped on host (static shapes, no recompiles).
+Infinite PSNR values (identical shaved patches at extreme scales) are
+preserved through aggregation exactly as the reference's float64 mean does.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+from dataclasses import asdict, dataclass
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from adunet.data.sr_pipeline import GridPatchDataset
+from adunet.train.sr import make_sr_eval_step
+
+__all__ = [
+    "EvalResults",
+    "evaluate_sr",
+    "infer_eval_shave",
+    "write_outputs",
+    "attach_filenames",
+]
+
+
+@dataclass
+class EvalResults:
+    mse_mean: float
+    mse_std: float
+    psnr_mean: float
+    psnr_std: float
+    ssim_mean: float
+    ssim_std: float
+    msssim_mean: float
+    msssim_std: float
+    samples: int
+
+
+def infer_eval_shave(scale: float, explicit: Optional[int] = None) -> int:
+    """Default border shave = 2 * round(1/scale) (evaluate_model.py:49-54)."""
+    if explicit is not None:
+        return max(0, int(explicit))
+    inv_scale = 1.0 / scale if scale > 0 else 0.0
+    scale_factor = int(round(inv_scale)) if inv_scale > 0 else 0
+    return 2 * scale_factor if scale_factor > 0 else 0
+
+
+def evaluate_sr(
+    state,
+    dataset: GridPatchDataset,
+    eval_scale: float,
+    eval_shave: int,
+) -> Tuple[EvalResults, List[Dict[str, float]]]:
+    """Evaluate a trained state over a grid-tiled dataset."""
+    step = make_sr_eval_step(None, eval_scale=eval_scale, eval_shave=eval_shave)
+
+    batch_size = dataset.batch_size
+    rows: List[Dict[str, float]] = []
+    all_metrics: Dict[str, List[np.ndarray]] = {
+        "psnr_y": [],
+        "ssim_y": [],
+        "msssim_y": [],
+        "mse_y": [],
+    }
+
+    offset = 0
+    for hr_batch in dataset:
+        n = hr_batch.shape[0]
+        if n < batch_size:
+            # pad ragged final batch to the compiled shape; drop rows on host
+            pad = np.repeat(hr_batch[-1:], batch_size - n, axis=0)
+            padded = np.concatenate([hr_batch, pad], axis=0)
+        else:
+            padded = hr_batch
+        out = step(state, jnp.asarray(padded))
+        out = {k: np.asarray(v)[:n] for k, v in out.items()}
+        for k in all_metrics:
+            all_metrics[k].append(out[k])
+        for i in range(n):
+            rows.append(
+                {
+                    "index": offset + i,
+                    "psnr_y": float(out["psnr_y"][i]),
+                    "ssim_y": float(out["ssim_y"][i]),
+                    "msssim_y": float(out["msssim_y"][i]),
+                    "mse_y": float(out["mse_y"][i]),
+                }
+            )
+        offset += n
+
+    if not rows:
+        raise RuntimeError("Evaluation dataset yielded no samples.")
+
+    def stats(key: str) -> Tuple[float, float]:
+        arr = np.concatenate(all_metrics[key], axis=0).astype(np.float64)
+        return float(np.mean(arr)), float(np.std(arr))
+
+    mse_mean, mse_std = stats("mse_y")
+    psnr_mean, psnr_std = stats("psnr_y")
+    ssim_mean, ssim_std = stats("ssim_y")
+    msssim_mean, msssim_std = stats("msssim_y")
+
+    summary = EvalResults(
+        mse_mean=mse_mean,
+        mse_std=mse_std,
+        psnr_mean=psnr_mean,
+        psnr_std=psnr_std,
+        ssim_mean=ssim_mean,
+        ssim_std=ssim_std,
+        msssim_mean=msssim_mean,
+        msssim_std=msssim_std,
+        samples=len(rows),
+    )
+    return summary, rows
+
+
+def attach_filenames(per_image: List[Dict[str, float]], filenames: Sequence[str]) -> None:
+    if len(per_image) != len(filenames):
+        raise ValueError("Per-image metric count does not match filename list.")
+    for item, name in zip(per_image, filenames):
+        item["filename"] = name
+
+
+def write_outputs(
+    run_dir: str | Path,
+    summary: EvalResults,
+    per_image: List[Dict[str, float]],
+    config: Dict[str, object],
+    write_per_image: bool = True,
+) -> None:
+    """config.json + metrics.json + per_image_metrics.csv, reference schema
+    (evaluate_model.py:173-190)."""
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    (run_dir / "config.json").write_text(json.dumps(config, indent=2, default=str))
+    (run_dir / "metrics.json").write_text(json.dumps(asdict(summary), indent=2))
+    if write_per_image:
+        with (run_dir / "per_image_metrics.csv").open("w", newline="") as handle:
+            fieldnames = ["index", "filename", "psnr_y", "ssim_y", "msssim_y", "mse_y"]
+            writer = csv.DictWriter(handle, fieldnames=fieldnames)
+            writer.writeheader()
+            for row in per_image:
+                writer.writerow(row)

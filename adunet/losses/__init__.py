@@ -14,7 +14,12 @@ from adunet.losses.seg import (
     make_hybrid_ce_dice_loss,
     make_bce_dice_loss,
 )
-from adunet.losses.perceptual import VGG19Features, vgg19_preprocess, load_vgg19_params
+from adunet.losses.perceptual import (
+    VGG19Features,
+    vgg19_preprocess,
+    load_vgg19_params,
+    make_perceptual_fn,
+)
 
 __all__ = [
     "charbonnier_loss",
@@ -30,4 +35,5 @@ __all__ = [
     "VGG19Features",
     "vgg19_preprocess",
     "load_vgg19_params",
+    "make_perceptual_fn",
 ]

@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
-from adunet.parallel.mesh import shard_batch
+from adunet.parallel.mesh import replicated_sharding as _replicated, shard_batch
 from adunet.train.checkpoint import CheckpointManager
 from adunet.train.state import TrainState
 
@@ -156,7 +156,13 @@ def fit(
             vweights: List[float] = []
             for vbatch in val_data:
                 n = batch_size_of(vbatch)
-                out = val_step(state, put(vbatch))
+                # val batches can be ragged (grid tiling) — replicate instead
+                # of batch-sharding so any size works on any mesh
+                if mesh is not None:
+                    vbatch = jax.tree_util.tree_map(
+                        lambda x: jax.device_put(x, _replicated(mesh)), vbatch
+                    )
+                out = val_step(state, vbatch)
                 vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
                 vweights.append(n)
             val_metrics = _mean_of(vdicts, vweights)

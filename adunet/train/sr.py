@@ -90,10 +90,23 @@ def make_sr_eval_step(model, eval_scale: float, eval_shave: int):
             pred_y = pred_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
             hr_y = hr_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
 
+        # tf.image.ssim_multiscale requires min_dim >= 11 * 2^(scales-1); the
+        # reference always satisfies this (256px patches, shave <= 10). For
+        # smaller inputs, use as many scales as fit (truncated Wang weights).
+        size = min(pred_y.shape[-3], pred_y.shape[-2])
+        max_scales = 1
+        while size // (2 ** max_scales) >= 11 and max_scales < 5:
+            max_scales += 1
+        kwargs = {}
+        if max_scales < 5:
+            from adunet.metrics.psnr_ssim import _MSSSIM_WEIGHTS
+
+            kwargs["power_factors"] = _MSSSIM_WEIGHTS[:max_scales]
+
         return {
             "psnr_y": psnr(hr_y, pred_y),
             "ssim_y": ssim(hr_y, pred_y),
-            "msssim_y": ssim_multiscale(hr_y, pred_y),
+            "msssim_y": ssim_multiscale(hr_y, pred_y, **kwargs),
             "mse_y": mse_per_image(hr_y, pred_y),
         }
 

@@ -1,0 +1,123 @@
+"""Benchmark: SR training-step throughput on the flagship config.
+
+Measures the full fused train step (on-device LR degradation + forward +
+loss + backward + Adam) for the adaptive SR U-Net at scale 0.5 / depth 3 —
+the center column of the reference's experiment tables. Baseline: the
+reference trains this config at ~9.0 img/s on a 2080 Ti (BASELINE.md:
+batch 4, ~445 ms/step).
+
+Method: K train steps run inside one jitted lax.scan; the HR batch for each
+step is PRNG-generated on device (conv cost is data-independent), so the
+measurement has no host-transfer or dispatch component. Two scan lengths are
+timed and differenced to cancel any fixed per-call overhead of the remote
+TPU tunnel this environment routes execution through.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N/9.0}
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+BASELINE_IMGS_PER_SEC = 9.0  # BASELINE.md scale-0.5 row (bs 4 / 445 ms/step)
+STEPS_SHORT = 5
+STEPS_LONG = 25
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.losses import build_losses_and_metrics
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer
+    from adunet.train.sr import DATA_LR_SHRINK, sr_loss_and_metrics
+    from adunet.ops import degrade
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=3, input_size=256, dtype=jnp.bfloat16
+    )
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+
+    def one_step(state, rng, batch_size):
+        hr_batch = jax.random.uniform(rng, (batch_size, 256, 256, 3), dtype=jnp.float32)
+        lr_batch = degrade(hr_batch, DATA_LR_SHRINK, 256)
+
+        def compute_loss(params):
+            pred = state.apply_fn({"params": params}, lr_batch)
+            loss, _metrics = sr_loss_and_metrics(loss_fn, hr_batch, pred)
+            return loss
+
+        loss, grads = jax.value_and_grad(compute_loss)(state.params)
+        return state.apply_gradients(grads=grads), loss
+
+    def make_runner(n_steps, batch_size):
+        @jax.jit
+        def run(state, rng):
+            def body(carry, _):
+                st, key = carry
+                key, sub = jax.random.split(key)
+                st, loss = one_step(st, sub, batch_size)
+                return (st, key), loss
+
+            (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n_steps)
+            return state, losses
+
+        return run
+
+    def timed(run, state, rng, repeats=2):
+        # warmup/compile; host transfer forces real remote execution
+        _, losses = run(state, rng)
+        float(np.asarray(losses).sum())
+        best = np.inf
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _, losses = run(state, rng)
+            assert np.isfinite(float(np.asarray(losses).sum()))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    def run_bench(batch_size: int) -> float:
+        state = create_train_state(
+            model,
+            jax.random.key(0),
+            jnp.zeros((1, 256, 256, 3)),
+            make_optimizer(1e-4),
+        )
+        rng = jax.random.key(1)
+        t_short = timed(make_runner(STEPS_SHORT, batch_size), state, rng)
+        t_long = timed(make_runner(STEPS_LONG, batch_size), state, rng)
+        dt = max(t_long - t_short, 1e-9)
+        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+
+    value = None
+    last_err = None
+    for bs in (32, 16, 8):
+        try:
+            value = run_bench(bs)
+            batch_used = bs
+            break
+        except Exception as exc:  # OOM fallbacks
+            last_err = exc
+    if value is None:
+        raise RuntimeError(f"bench failed at all batch sizes: {last_err}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px",
+                "value": round(value, 2),
+                "unit": "img/s",
+                "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
+                "batch_size": batch_used,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""End-to-end CLI tests: train_sr then evaluate on a synthetic tiny dataset.
+
+Mirrors the reference lifecycle (SURVEY.md §3.4): train → auto-eval →
+offline evaluator report, all on the 8-device CPU mesh with npy 'images'.
+"""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("div2k_tiny")
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        coarse = rng.random((12, 12, 3), dtype=np.float32)
+        img = np.clip(np.repeat(np.repeat(coarse, 4, 0), 4, 1), 0, 1)  # 48x48 smooth
+        np.save(root / f"img{i}.npy", img.astype(np.float32))
+    return root
+
+
+def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
+    from adunet.cli.train_sr import main as train_main
+    from adunet.cli.evaluate import main as eval_main
+
+    model_dir = tmp_path / "models"
+    log_dir = tmp_path / "logs"
+    train_main([
+        "--scale", "0.5",
+        "--depth_override", "1",
+        "--base_channels", "8",
+        "--residual_head_channels", "8",
+        "--patch_size", "32",
+        "--patches_per_image", "2",
+        "--batch_size", "8",
+        "--epochs", "2",
+        "--patience", "5",
+        "--high_res_dir", str(tiny_dataset),
+        "--image_suffix", ".npy",
+        "--model_dir", str(model_dir),
+        "--log_dir", str(log_dir),
+        "--run_name", "e2e",
+        "--seed", "7",
+    ])
+
+    run_dir = log_dir / "e2e"
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "model_summary.txt").exists()
+    assert (run_dir / "epoch_metrics.csv").exists()
+    cfg = json.loads((run_dir / "config.json").read_text())
+    assert cfg["depth"] == 1
+    rows = (run_dir / "epoch_metrics.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs
+
+    ckpt_dirs = list(model_dir.glob("unet_adaptive_scale0.50_depth1"))
+    assert ckpt_dirs, f"no checkpoint dir in {list(model_dir.iterdir())}"
+
+    out_dir = tmp_path / "eval"
+    eval_main([
+        "--model-path", str(ckpt_dirs[0]),
+        "--scale", "0.5",
+        "--hr-dir", str(tiny_dataset),
+        "--image-suffix", ".npy",
+        "--patch-size", "32",
+        "--batch-size", "4",
+        "--eval-shave", "2",
+        "--output-dir", str(out_dir),
+        "--run-name", "report",
+    ])
+    report = out_dir / "report"
+    metrics = json.loads((report / "metrics.json").read_text())
+    assert metrics["samples"] == 8  # 8 images x 1 patch (48px, stride 32 -> 1)
+    assert np.isfinite(metrics["psnr_mean"])
+    per_image = (report / "per_image_metrics.csv").read_text().strip().splitlines()
+    assert per_image[0] == "index,filename,psnr_y,ssim_y,msssim_y,mse_y"
+    assert len(per_image) == 9
