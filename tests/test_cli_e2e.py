@@ -77,3 +77,44 @@ def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     per_image = (report / "per_image_metrics.csv").read_text().strip().splitlines()
     assert per_image[0] == "index,filename,psnr_y,ssim_y,msssim_y,mse_y"
     assert len(per_image) == 9
+
+
+@pytest.fixture(scope="module")
+def tiny_isic(tmp_path_factory):
+    root = tmp_path_factory.mktemp("isic_tiny")
+    (root / "train_img").mkdir(); (root / "train_mask").mkdir()
+    (root / "val_img").mkdir(); (root / "val_mask").mkdir()
+    rng = np.random.default_rng(1)
+    for split, n in (("train", 8), ("val", 4)):
+        for i in range(n):
+            img = rng.random((32, 32, 3), dtype=np.float32)
+            mask = np.zeros((32, 32), np.float32)
+            mask[8:24, 8:24] = 1.0
+            np.save(root / f"{split}_img" / f"isic_{split}{i:04d}.npy", img)
+            np.save(root / f"{split}_mask" / f"isic_{split}{i:04d}_segmentation.npy", mask)
+    return root
+
+
+def test_train_seg_cli(tiny_isic, tmp_path):
+    from adunet.cli.train_seg import main as seg_main
+
+    seg_main([
+        "--protocol", "A",
+        "--epochs", "2",
+        "--batch_size", "8",
+        "--base_channels", "8",
+        "--depth", "2",
+        "--image_size", "32",
+        "--train_images", str(tiny_isic / "train_img"),
+        "--train_masks", str(tiny_isic / "train_mask"),
+        "--val_images", str(tiny_isic / "val_img"),
+        "--val_masks", str(tiny_isic / "val_mask"),
+        "--model_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--run_name", "seg_e2e",
+    ])
+    run_dir = tmp_path / "logs" / "seg_e2e"
+    cfg = json.loads((run_dir / "config.json").read_text())
+    assert cfg["protocol"] == "A"
+    assert "dice" in cfg["metrics"] and 0 <= cfg["metrics"]["dice"] <= 1
+    assert (run_dir / "epoch_metrics.csv").exists()
