@@ -55,5 +55,9 @@ def build_adaptive_depth_unet(
     depth: int,
     dtype: Any = jnp.float32,
 ) -> AdaptiveSegUNet:
-    del input_size  # shapes are static per trace; kept for signature parity
+    if input_size // (2**depth) < 1:
+        raise ValueError(
+            f"depth={depth} collapses a {input_size}px input to zero extent "
+            f"(needs input_size >= 2^depth = {2**depth})."
+        )
     return AdaptiveSegUNet(depth=depth, base_channels=base_channels, dtype=dtype)

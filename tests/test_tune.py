@@ -1,0 +1,99 @@
+"""Built-in search engine tests + a tiny seg tuning run through the CLI."""
+
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from adunet.tune import Study, TrialPruned, create_study
+
+
+def test_study_minimize_quadratic():
+    study = Study(direction="minimize", seed=0)
+
+    def objective(trial):
+        x = trial.suggest_float("x", -10, 10)
+        return (x - 3.0) ** 2
+
+    study.optimize(objective, n_trials=50)
+    assert abs(study.best_params["x"] - 3.0) < 2.0
+    assert study.best_value < 4.0
+
+
+def test_study_deterministic():
+    def objective(trial):
+        return trial.suggest_float("x", 0, 1)
+
+    s1 = Study(seed=7)
+    s1.optimize(objective, 5)
+    s2 = Study(seed=7)
+    s2.optimize(objective, 5)
+    assert [t.value for t in s1.trials] == [t.value for t in s2.trials]
+
+
+def test_median_pruning():
+    study = Study(direction="minimize", seed=0, n_warmup_trials=2, n_warmup_steps=0)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        for step in range(3):
+            trial.report(x, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return x
+
+    study.optimize(objective, n_trials=20)
+    states = {t.state for t in study.trials}
+    assert "PRUNED" in states  # bad trials get cut
+    assert study.best_value == min(t.value for t in study.completed_trials)
+
+
+def test_results_payload_roundtrip(tmp_path):
+    study = Study(seed=1)
+    study.optimize(lambda t: t.suggest_float("x", 0, 1), 3)
+    path = tmp_path / "results.json"
+    study.save_results(path)
+    payload = json.loads(path.read_text())
+    assert payload["n_trials"] == 3
+    assert "best_params" in payload
+
+
+def test_create_study_fallback():
+    s = create_study(direction="maximize", seed=3)
+    # optuna is absent in this image -> built-in Study
+    assert isinstance(s, Study) or hasattr(s, "optimize")
+
+
+def test_tune_cli_seg(tmp_path):
+    """Two 1-epoch trials over a synthetic ISIC set — exercises the whole path."""
+    root = tmp_path / "isic"
+    for sub in ("ti", "tm", "vi", "vm"):
+        (root / sub).mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = rng.random((32, 32, 3), dtype=np.float32)
+        mask = (rng.random((32, 32)) > 0.5).astype(np.float32)
+        np.save(root / "ti" / f"a{i}.npy", img)
+        np.save(root / "tm" / f"a{i}_segmentation.npy", mask)
+        np.save(root / "vi" / f"b{i}.npy", img)
+        np.save(root / "vm" / f"b{i}_segmentation.npy", mask)
+
+    from adunet.cli.tune import main as tune_main
+
+    results = tmp_path / "results.json"
+    tune_main([
+        "--workload", "seg",
+        "--n-trials", "2",
+        "--epochs", "1",
+        "--image-size", "32",
+        "--base-channels", "4",
+        "--train-images", str(root / "ti"),
+        "--train-masks", str(root / "tm"),
+        "--val-images", str(root / "vi"),
+        "--val-masks", str(root / "vm"),
+        "--results", str(results),
+    ])
+    payload = json.loads(results.read_text())
+    assert payload["n_trials"] == 2
+    assert payload["best_value"] is not None
