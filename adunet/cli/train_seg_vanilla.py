@@ -1,0 +1,177 @@
+"""Vanilla (baseline) segmentation U-Net training CLI.
+
+Rebuild of /root/reference/Segmenation/code/unet_vinillia.py: generic
+image/mask pairing (ISIC + Cityscapes-style suffixes), flips-only
+augmentation, LayerNorm U-Net with Conv2DTranspose decoder, BCE loss with
+accuracy/precision/recall/global-dice metrics, best-val-dice checkpointing,
+early stopping, and ReduceLROnPlateau (factor 0.5, patience 5, min 1e-6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+from datetime import datetime
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+
+def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train a baseline U-Net for binary segmentation (TPU).")
+    parser.add_argument("--train_image_dir", type=Path, required=True)
+    parser.add_argument("--train_mask_dir", type=Path, required=True)
+    parser.add_argument("--val_image_dir", type=Path, required=True)
+    parser.add_argument("--val_mask_dir", type=Path, required=True)
+    parser.add_argument("--image_suffix", type=str, default=".jpg")
+    parser.add_argument("--mask_suffix", type=str, default="_segmentation.png")
+    parser.add_argument("--image_size", type=int, default=256)
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=60)
+    parser.add_argument("--learning_rate", type=float, default=1e-4)
+    parser.add_argument("--base_channels", type=int, default=32)
+    parser.add_argument("--depth", type=int, default=4)
+    parser.add_argument("--num_classes", type=int, default=1)
+    parser.add_argument("--model_dir", type=Path, default=Path("runs/models"))
+    parser.add_argument("--log_dir", type=Path, default=Path("runs/logs"))
+    parser.add_argument("--run_name", type=str, default="unet_isic")
+    parser.add_argument("--seed", type=int, default=13)
+    parser.add_argument("--limit_train", type=int, default=None)
+    parser.add_argument("--limit_val", type=int, default=None)
+    parser.add_argument("--augment", action="store_true")
+    parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--n_devices", type=int, default=None)
+    return parser.parse_args(argv)
+
+
+def train(args: argparse.Namespace) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.data import discover_pairs
+    from adunet.data.seg_pipeline import SegPairDataset
+    from adunet.losses import binary_crossentropy
+    from adunet.metrics import binary_accuracy, global_dice_coefficient, precision, recall
+    from adunet.models import build_unet
+    from adunet.parallel import make_mesh, replicate
+    from adunet.train import (
+        CheckpointManager,
+        create_train_state,
+        fit,
+        make_optimizer,
+        make_seg_eval_step,
+        make_seg_train_step,
+    )
+
+    train_pairs = discover_pairs(
+        args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
+        args.image_suffix, args.mask_suffix, args.limit_train,
+    )
+    val_pairs = discover_pairs(
+        args.val_image_dir.expanduser(), args.val_mask_dir.expanduser(),
+        args.image_suffix, args.mask_suffix, args.limit_val,
+    )
+    print(f"Loaded {len(train_pairs)} training samples and {len(val_pairs)} validation samples.")
+
+    train_ds = SegPairDataset(
+        train_pairs, batch_size=args.batch_size, image_size=args.image_size,
+        augment=args.augment, shuffle=True, seed=args.seed,
+    )
+    val_ds = SegPairDataset(
+        val_pairs, batch_size=args.batch_size, image_size=args.image_size,
+        augment=False, shuffle=False, seed=args.seed,
+    )
+    steps_per_epoch = math.ceil(len(train_pairs) / args.batch_size)
+
+    dtype = jnp.bfloat16 if args.mixed_precision else jnp.float32
+    model = build_unet(
+        args.image_size, num_classes=args.num_classes,
+        base_channels=args.base_channels, depth=args.depth, dtype=dtype,
+    )
+
+    extra = {
+        "accuracy": binary_accuracy,
+        "precision": precision,
+        "recall": recall,
+        "dice_coefficient": global_dice_coefficient,
+    }
+
+    mesh = make_mesh(args.n_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    if args.batch_size % n_dev != 0:
+        raise ValueError(f"batch_size={args.batch_size} must be divisible by {n_dev} devices.")
+
+    tx = make_optimizer(args.learning_rate, inject_lr=True)
+    sample = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(args.seed), sample, tx)
+    state = replicate(state, mesh)
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
+
+    timestamp = datetime.now().strftime("%Y%m%d-%H%M%S")
+    run_dir = Path(args.log_dir).expanduser() / f"{args.run_name}_{timestamp}"
+    run_dir.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_best"
+    print(f"Checkpoints will be written to {ckpt_dir}")
+
+    ckpt = CheckpointManager(ckpt_dir, monitor="val_dice_coefficient", mode="max")
+
+    train_step = make_seg_train_step(
+        model, binary_crossentropy,
+        augment="flips" if args.augment else "none",
+        extra_metrics=extra,
+    )
+    eval_step = make_seg_eval_step(model, binary_crossentropy, extra_metrics=extra)
+
+    def infinite(ds):
+        while True:
+            yield from ds
+
+    result = fit(
+        state,
+        infinite(train_ds),
+        train_step,
+        steps_per_epoch=steps_per_epoch,
+        epochs=args.epochs,
+        rng=jax.random.key(args.seed),
+        val_data=val_ds,
+        val_step=eval_step,
+        monitor="val_dice_coefficient",
+        monitor_mode="max",
+        patience=10,
+        restore_best_weights=True,
+        reduce_lr_on_plateau={"monitor": "val_loss", "mode": "min",
+                              "factor": 0.5, "patience": 5, "min_lr": 1e-6},
+        ckpt=ckpt,
+        mesh=mesh,
+        log_dir=run_dir,
+    )
+    state = result.state
+
+    final_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_final"
+    final_ckpt = CheckpointManager(final_dir, monitor="val_dice_coefficient", mode="max")
+    final_ckpt.save(len(result.history), state)
+    final_ckpt.close()
+
+    payload = {
+        "run_name": args.run_name,
+        "n_params": n_params,
+        "epochs_ran": len(result.history),
+        "best_epoch": result.best_epoch,
+        "best_val_dice": result.best_metric,
+        "checkpoint": str(ckpt_dir),
+        "final_checkpoint": str(final_dir),
+        "created_at": timestamp,
+    }
+    (run_dir / "config.json").write_text(json.dumps(payload, indent=2, default=str))
+    ckpt.close()
+    return payload
+
+
+def main(argv: Optional[List[str]] = None) -> None:
+    train(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

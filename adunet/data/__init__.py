@@ -16,7 +16,7 @@ from adunet.data.sr_pipeline import (
     make_eval_patch_dataset,
 )
 from adunet.data.seg_pipeline import SegPairDataset, build_isic_dataset
-from adunet.data.augment import augment_pair_batch, random_resized_crop_pair
+from adunet.data.augment import augment_pair_batch, random_resized_crop_pair, flip_pair_batch
 from adunet.data.array_dataset import ArrayDataset, make_array_dataset
 
 __all__ = [
@@ -40,6 +40,7 @@ __all__ = [
     "build_isic_dataset",
     "augment_pair_batch",
     "random_resized_crop_pair",
+    "flip_pair_batch",
     "ArrayDataset",
     "make_array_dataset",
 ]

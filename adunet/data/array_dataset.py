@@ -19,6 +19,7 @@ class ArrayDataset:
         batch_size: int,
         shuffle: bool = False,
         seed: int = 0,
+        drop_remainder: bool = False,
     ):
         if not arrays:
             raise ValueError("At least one array required.")
@@ -29,8 +30,12 @@ class ArrayDataset:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        self.drop_remainder = drop_remainder
         self._epoch = 0
-        self.steps_per_epoch = math.ceil(n / batch_size)
+        if drop_remainder:
+            self.steps_per_epoch = max(1, n // batch_size)
+        else:
+            self.steps_per_epoch = math.ceil(n / batch_size)
 
     def __len__(self) -> int:
         return self.arrays[0].shape[0]
@@ -44,6 +49,8 @@ class ArrayDataset:
         self._epoch += 1
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
+            if self.drop_remainder and len(idx) < self.batch_size and start > 0:
+                return
             yield tuple(a[idx] for a in self.arrays)
 
 

@@ -19,7 +19,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["random_resized_crop_pair", "augment_pair", "augment_pair_batch"]
+__all__ = [
+    "random_resized_crop_pair",
+    "augment_pair",
+    "augment_pair_batch",
+    "flip_pair_batch",
+]
 
 
 def _linear_gather(x: jax.Array, coords: jax.Array, axis: int) -> jax.Array:
@@ -112,3 +117,22 @@ def augment_pair_batch(
     return jax.vmap(lambda i, m, k: augment_pair(i, m, k, min_scale, max_scale))(
         images, masks, keys
     )
+
+
+def flip_pair_batch(images: jax.Array, masks: jax.Array, key: jax.Array):
+    """Flips-only augmentation (vanilla seg trainer,
+    Segmenation/code/unet_vinillia.py:178-185): independent LR/UD coin flips
+    per sample, applied identically to image and mask."""
+
+    def one(image, mask, k):
+        k_lr, k_ud = jax.random.split(k)
+        flip_lr = jax.random.uniform(k_lr, ()) > 0.5
+        flip_ud = jax.random.uniform(k_ud, ()) > 0.5
+        image = jnp.where(flip_lr, image[:, ::-1], image)
+        mask = jnp.where(flip_lr, mask[:, ::-1], mask)
+        image = jnp.where(flip_ud, image[::-1], image)
+        mask = jnp.where(flip_ud, mask[::-1], mask)
+        return image, mask
+
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(one)(images, masks, keys)

@@ -1,7 +1,14 @@
 """Quality metrics: PSNR/SSIM/MS-SSIM (BT.601 luma) and Dice/IoU — pure jnp."""
 
 from adunet.metrics.psnr_ssim import psnr, mse_per_image, ssim, ssim_multiscale
-from adunet.metrics.seg import dice_coefficient, iou_score
+from adunet.metrics.seg import (
+    dice_coefficient,
+    iou_score,
+    global_dice_coefficient,
+    binary_accuracy,
+    precision,
+    recall,
+)
 
 __all__ = [
     "psnr",
@@ -10,4 +17,8 @@ __all__ = [
     "ssim_multiscale",
     "dice_coefficient",
     "iou_score",
+    "global_dice_coefficient",
+    "binary_accuracy",
+    "precision",
+    "recall",
 ]

@@ -25,6 +25,19 @@ __all__ = ["psnr", "mse_per_image", "ssim", "ssim_multiscale"]
 _MSSSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
 
 
+def msssim_power_factors_for(min_dim: int, filter_size: int = 11):
+    """Truncate the Wang weights to the scales that fit ``min_dim``.
+
+    tf.image.ssim_multiscale requires min_dim >= filter_size * 2^(scales-1);
+    the reference always evaluates >= 236px so all 5 scales apply. Smaller
+    inputs (tests, thumbnails) get as many scales as fit.
+    """
+    scales = 1
+    while min_dim // (2**scales) >= filter_size and scales < len(_MSSSIM_WEIGHTS):
+        scales += 1
+    return _MSSSIM_WEIGHTS[:scales]
+
+
 @jax.jit
 def mse_per_image(a: jax.Array, b: jax.Array) -> jax.Array:
     """Per-image MSE over (H, W, C); inputs (N, H, W, C)."""

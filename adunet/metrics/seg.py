@@ -11,7 +11,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-__all__ = ["dice_coefficient", "iou_score"]
+__all__ = [
+    "dice_coefficient",
+    "iou_score",
+    "global_dice_coefficient",
+    "binary_accuracy",
+    "precision",
+    "recall",
+]
 
 _CLIP_LO = 1e-7
 _CLIP_HI = 1.0 - 1e-7
@@ -38,3 +45,39 @@ def iou_score(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6) -> jax
     union = total - intersection
     iou = (intersection + smooth) / (union + smooth)
     return jnp.mean(iou)
+
+
+@functools.partial(jax.jit, static_argnames=("smooth",))
+def global_dice_coefficient(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6) -> jax.Array:
+    """Whole-batch Dice (sums over every element) — the vanilla seg trainer's
+    variant (Segmenation/code/unet_vinillia.py:93-98), distinct from the
+    per-sample protocol metric above."""
+    y_true = y_true.astype(jnp.float32)
+    y_pred = y_pred.astype(jnp.float32)
+    numerator = 2.0 * jnp.sum(y_true * y_pred) + smooth
+    denominator = jnp.sum(y_true + y_pred) + smooth
+    return numerator / denominator
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def binary_accuracy(y_true: jax.Array, y_pred: jax.Array, threshold: float = 0.5) -> jax.Array:
+    pred = (y_pred.astype(jnp.float32) > threshold).astype(jnp.float32)
+    return jnp.mean((pred == y_true.astype(jnp.float32)).astype(jnp.float32))
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def precision(y_true: jax.Array, y_pred: jax.Array, threshold: float = 0.5) -> jax.Array:
+    y_true = y_true.astype(jnp.float32)
+    pred = (y_pred.astype(jnp.float32) > threshold).astype(jnp.float32)
+    tp = jnp.sum(pred * y_true)
+    fp = jnp.sum(pred * (1.0 - y_true))
+    return tp / jnp.maximum(tp + fp, 1e-12)
+
+
+@functools.partial(jax.jit, static_argnames=("threshold",))
+def recall(y_true: jax.Array, y_pred: jax.Array, threshold: float = 0.5) -> jax.Array:
+    y_true = y_true.astype(jnp.float32)
+    pred = (y_pred.astype(jnp.float32) > threshold).astype(jnp.float32)
+    tp = jnp.sum(pred * y_true)
+    fn = jnp.sum((1.0 - pred) * y_true)
+    return tp / jnp.maximum(tp + fn, 1e-12)

@@ -74,6 +74,22 @@ def _improved(current: float, best: Optional[float], mode: str) -> bool:
     return current < best if mode == "min" else current > best
 
 
+def _scale_injected_lr(state: TrainState, factor: float, min_lr: float) -> TrainState:
+    """Rescale the learning rate inside an inject_hyperparams opt state."""
+    import jax.numpy as jnp
+
+    opt_state = state.opt_state
+    if not hasattr(opt_state, "hyperparams") or "learning_rate" not in opt_state.hyperparams:
+        raise ValueError(
+            "reduce_lr_on_plateau requires make_optimizer(..., inject_lr=True)."
+        )
+    lr = opt_state.hyperparams["learning_rate"]
+    new_lr = jnp.maximum(lr * factor, min_lr)
+    hyperparams = dict(opt_state.hyperparams)
+    hyperparams["learning_rate"] = new_lr
+    return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
+
+
 def fit(
     state: TrainState,
     train_iter: Iterable,
@@ -93,6 +109,7 @@ def fit(
     mesh=None,
     log_dir: Optional[str | Path] = None,
     samples_per_step: Optional[int] = None,
+    reduce_lr_on_plateau: Optional[Dict[str, Any]] = None,
     verbose: int = 1,
     tb_writer=None,
 ) -> FitResult:
@@ -112,6 +129,20 @@ def fit(
     best_stats_host = None
     wait = 0
     stopped_early = False
+
+    # ReduceLROnPlateau (Keras semantics: separate monitor/patience from
+    # early stopping; requires an inject_hyperparams optimizer)
+    rlp = None
+    if reduce_lr_on_plateau is not None:
+        rlp = {
+            "monitor": reduce_lr_on_plateau.get("monitor", "val_loss"),
+            "mode": reduce_lr_on_plateau.get("mode", "min"),
+            "factor": reduce_lr_on_plateau.get("factor", 0.5),
+            "patience": reduce_lr_on_plateau.get("patience", 5),
+            "min_lr": reduce_lr_on_plateau.get("min_lr", 1e-6),
+            "best": None,
+            "wait": 0,
+        }
 
     csv_writer = None
     csv_file = None
@@ -206,6 +237,23 @@ def fit(
 
         monitored_pool = {**train_metrics, **{f"val_{k}": v for k, v in val_metrics.items()}}
         current = monitored_pool.get(monitor)
+
+        if rlp is not None:
+            rlp_current = monitored_pool.get(rlp["monitor"])
+            if rlp_current is not None:
+                if _improved(rlp_current, rlp["best"], rlp["mode"]):
+                    rlp["best"] = rlp_current
+                    rlp["wait"] = 0
+                else:
+                    rlp["wait"] += 1
+                    if rlp["wait"] >= rlp["patience"]:
+                        state = _scale_injected_lr(state, rlp["factor"], rlp["min_lr"])
+                        rlp["wait"] = 0
+                        if verbose:
+                            new_lr = float(
+                                np.asarray(state.opt_state.hyperparams["learning_rate"])
+                            )
+                            print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
 
         if ckpt is not None:
             ckpt.save(epoch + 1, state, metrics=monitored_pool)

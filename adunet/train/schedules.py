@@ -28,8 +28,18 @@ def make_optimizer(
     *,
     cosine_decay_steps: int | None = None,
     cosine_alpha: float = 0.0,
+    inject_lr: bool = False,
 ) -> optax.GradientTransformation:
-    """Adam with Keras-default epsilon; optional cosine schedule."""
+    """Adam with Keras-default epsilon; optional cosine schedule.
+
+    ``inject_lr=True`` wraps with optax.inject_hyperparams so the learning
+    rate lives in the optimizer state and can be rescaled mid-training
+    (ReduceLROnPlateau support in the fit loop).
+    """
     if cosine_decay_steps is not None:
         learning_rate = cosine_decay_schedule(learning_rate, cosine_decay_steps, cosine_alpha)
+    if inject_lr:
+        return optax.inject_hyperparams(optax.adam)(
+            learning_rate=learning_rate, b1=0.9, b2=0.999, eps=1e-7
+        )
     return optax.adam(learning_rate, b1=0.9, b2=0.999, eps=1e-7)

@@ -16,7 +16,7 @@ from typing import Callable, Dict
 import jax
 import jax.numpy as jnp
 
-from adunet.data.augment import augment_pair_batch
+from adunet.data.augment import augment_pair_batch, flip_pair_batch
 from adunet.metrics.seg import dice_coefficient, iou_score
 from adunet.train.state import TrainState
 
@@ -26,26 +26,37 @@ __all__ = ["make_seg_train_step", "make_seg_eval_step"]
 def make_seg_train_step(
     model,
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
-    augment: bool = True,
+    augment: bool | str = True,
     donate: bool = True,
+    extra_metrics: Dict[str, Callable] | None = None,
 ):
-    """Returns jitted (state, images, masks, rng) -> (state, metrics)."""
+    """Returns jitted (state, (images, masks), rng) -> (state, metrics).
+
+    ``augment``: True/'full' = rot90+flips+scale-jitter (protocol trainer);
+    'flips' = LR/UD flips only (vanilla trainer); False/'none' = off.
+    """
+    mode = {True: "full", False: "none"}.get(augment, augment)
 
     def step(state: TrainState, batch, rng: jax.Array):
         images, masks = batch
-        if augment:
+        if mode == "full":
             images, masks = augment_pair_batch(images, masks, rng)
+        elif mode == "flips":
+            images, masks = flip_pair_batch(images, masks, rng)
 
         def compute_loss(params):
             variables = {"params": params}
-            mutable = []
             if state.batch_stats is not None:
                 variables["batch_stats"] = state.batch_stats
-                mutable = ["batch_stats"]
-            out = state.apply_fn(variables, images, train=True, mutable=mutable)
-            pred, new_vars = out if mutable else (out, {})
+                pred, new_vars = state.apply_fn(
+                    variables, images, train=True, mutable=["batch_stats"]
+                )
+                new_stats = new_vars.get("batch_stats")
+            else:
+                pred = state.apply_fn(variables, images, train=True)
+                new_stats = None
             loss = loss_fn(masks, pred)
-            return loss, (pred, new_vars.get("batch_stats"))
+            return loss, (pred, new_stats)
 
         (loss, (pred, new_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
             state.params
@@ -58,13 +69,19 @@ def make_seg_train_step(
             "dice": dice_coefficient(masks, pred),
             "iou": iou_score(masks, pred),
         }
+        for name, fn in (extra_metrics or {}).items():
+            metrics[name] = fn(masks, pred)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_seg_eval_step(model, loss_fn: Callable[[jax.Array, jax.Array], jax.Array]):
-    """Returns jitted (state, images, masks) -> batch metrics (no augment,
+def make_seg_eval_step(
+    model,
+    loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
+    extra_metrics: Dict[str, Callable] | None = None,
+):
+    """Returns jitted (state, (images, masks)) -> batch metrics (no augment,
     BN running averages)."""
 
     @partial(jax.jit)
@@ -74,10 +91,13 @@ def make_seg_eval_step(model, loss_fn: Callable[[jax.Array, jax.Array], jax.Arra
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         pred = state.apply_fn(variables, images, train=False)
-        return {
+        metrics = {
             "loss": loss_fn(masks, pred),
             "dice": dice_coefficient(masks, pred),
             "iou": iou_score(masks, pred),
         }
+        for name, fn in (extra_metrics or {}).items():
+            metrics[name] = fn(masks, pred)
+        return metrics
 
     return step

@@ -90,18 +90,10 @@ def make_sr_eval_step(model, eval_scale: float, eval_shave: int):
             pred_y = pred_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
             hr_y = hr_y[:, eval_shave:-eval_shave, eval_shave:-eval_shave, :]
 
-        # tf.image.ssim_multiscale requires min_dim >= 11 * 2^(scales-1); the
-        # reference always satisfies this (256px patches, shave <= 10). For
-        # smaller inputs, use as many scales as fit (truncated Wang weights).
-        size = min(pred_y.shape[-3], pred_y.shape[-2])
-        max_scales = 1
-        while size // (2 ** max_scales) >= 11 and max_scales < 5:
-            max_scales += 1
-        kwargs = {}
-        if max_scales < 5:
-            from adunet.metrics.psnr_ssim import _MSSSIM_WEIGHTS
+        from adunet.metrics.psnr_ssim import msssim_power_factors_for
 
-            kwargs["power_factors"] = _MSSSIM_WEIGHTS[:max_scales]
+        size = min(pred_y.shape[-3], pred_y.shape[-2])
+        kwargs = {"power_factors": msssim_power_factors_for(size)}
 
         return {
             "psnr_y": psnr(hr_y, pred_y),

@@ -118,3 +118,62 @@ def test_train_seg_cli(tiny_isic, tmp_path):
     assert cfg["protocol"] == "A"
     assert "dice" in cfg["metrics"] and 0 <= cfg["metrics"]["dice"] <= 1
     assert (run_dir / "epoch_metrics.csv").exists()
+
+
+def test_train_seg_vanilla_cli(tiny_isic, tmp_path):
+    from adunet.cli.train_seg_vanilla import main as vanilla_main
+
+    vanilla_main([
+        "--train_image_dir", str(tiny_isic / "train_img"),
+        "--train_mask_dir", str(tiny_isic / "train_mask"),
+        "--val_image_dir", str(tiny_isic / "val_img"),
+        "--val_mask_dir", str(tiny_isic / "val_mask"),
+        "--image_suffix", ".npy",
+        "--mask_suffix", "_segmentation.npy",
+        "--image_size", "32",
+        "--batch_size", "8",
+        "--epochs", "2",
+        "--base_channels", "4",
+        "--depth", "2",
+        "--augment",
+        "--model_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--run_name", "vanilla_e2e",
+    ])
+    run_dirs = list((tmp_path / "logs").glob("vanilla_e2e_*"))
+    assert run_dirs
+    cfg = json.loads((run_dirs[0] / "config.json").read_text())
+    assert cfg["best_val_dice"] is not None
+    # epoch CSV has the vanilla metric columns
+    header = (run_dirs[0] / "epoch_metrics.csv").read_text().splitlines()[0]
+    for col in ("accuracy", "precision", "recall", "dice_coefficient"):
+        assert col in header
+
+
+def test_train_sr_vanilla_cli(tmp_path):
+    from adunet.cli.train_sr_vanilla import main as vsr_main
+
+    rng = np.random.default_rng(3)
+    hr_dir = tmp_path / "hr"; lr_dir = tmp_path / "lr"
+    hr_dir.mkdir(); lr_dir.mkdir()
+    for i in range(8):
+        img = rng.random((32, 32, 3), dtype=np.float32)
+        np.save(hr_dir / f"im{i}.npy", img)
+        np.save(lr_dir / f"im{i}.npy", np.clip(img + 0.05, 0, 1))
+
+    vsr_main([
+        "--high_res_dir", str(hr_dir),
+        "--low_res_dir", str(lr_dir),
+        "--hr_size", "32",
+        "--batch_size", "4",
+        "--epochs", "2",
+        "--base_channels", "4",
+        "--loss", "charbonnier",
+        "--model_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--run_name", "vsr_e2e",
+        "--n_devices", "4",
+    ])
+    cfg = json.loads((tmp_path / "logs" / "vsr_e2e" / "config.json").read_text())
+    assert "validation" in cfg["results"]
+    assert cfg["results"]["validation"]["psnr"][0] > 0
