@@ -177,3 +177,32 @@ def test_train_sr_vanilla_cli(tmp_path):
     cfg = json.loads((tmp_path / "logs" / "vsr_e2e" / "config.json").read_text())
     assert "validation" in cfg["results"]
     assert cfg["results"]["validation"]["psnr"][0] > 0
+
+
+def test_inspect_cli(tiny_dataset, tmp_path):
+    """Reuses the SR e2e checkpoint flow on a fresh tiny train, then renders grids."""
+    from adunet.cli.train_sr import main as train_main
+    from adunet.cli.inspect import main as inspect_main
+
+    model_dir = tmp_path / "models"
+    train_main([
+        "--scale", "0.5", "--depth_override", "1",
+        "--base_channels", "8", "--residual_head_channels", "8",
+        "--patch_size", "32", "--patches_per_image", "1",
+        "--batch_size", "8", "--epochs", "1", "--patience", "2",
+        "--high_res_dir", str(tiny_dataset), "--image_suffix", ".npy",
+        "--model_dir", str(model_dir), "--log_dir", str(tmp_path / "logs"),
+        "--run_name", "insp",
+    ])
+    ckpt = model_dir / "unet_adaptive_scale0.50_depth1"
+    out = tmp_path / "grids"
+    inspect_main([
+        "--model-path", str(ckpt),
+        "--scale", "0.5",
+        "--hr-dir", str(tiny_dataset),
+        "--image-suffix", ".npy",
+        "--patch-size", "32",
+        "--n-examples", "2",
+        "--output-dir", str(out),
+    ])
+    assert list(out.glob("*.png"))

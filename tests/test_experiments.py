@@ -1,0 +1,67 @@
+"""Sweep driver tests: plan tables, metadata, sbatch emission."""
+
+import pytest
+
+from adunet.experiments import (
+    EXPERIMENT2_DEPTHS,
+    sweep_runs,
+    write_metadata,
+)
+
+
+def test_fixed_depth_plan_matches_reference_table():
+    plans = sweep_runs("fixed_depth", high_res_dir="/data/hr", tpu_batches=False)
+    assert len(plans) == 8
+    by_scale = {p.metadata["scale"]: p for p in plans}
+    assert by_scale[0.5].metadata["batch_size"] == 6  # 2080Ti table
+    assert by_scale[0.8].metadata["batch_size"] == 1
+    assert all(p.metadata["depth"] == 3 for p in plans)
+    assert "--depth_override" in plans[0].argv
+
+
+def test_adaptive_depth_plan_matches_design_table():
+    plans = sweep_runs("adaptive_depth", high_res_dir="/data/hr", tpu_batches=False)
+    by_scale = {p.metadata["scale"]: p for p in plans}
+    for scale, depth in EXPERIMENT2_DEPTHS.items():
+        assert by_scale[scale].metadata["depth"] == depth
+    # deep models get remat
+    assert "--remat" in by_scale[0.7].argv
+    assert "--remat" not in by_scale[0.3].argv
+
+
+def test_tpu_batches_are_mesh_divisible():
+    plans = sweep_runs("adaptive_depth", high_res_dir="/data/hr", tpu_batches=True)
+    assert all(p.metadata["batch_size"] % 8 == 0 for p in plans)
+
+
+def test_seg_sweep_real_support():
+    dirs = {k: f"/data/{k}" for k in ("train_images", "train_masks", "val_images", "val_masks")}
+    plans = sweep_runs("seg_protocols", seg_dirs=dirs, protocols=("A", "B"), seeds=(1, 2), epochs=0)
+    assert len(plans) == 4
+    assert {p.metadata["protocol"] for p in plans} == {"A", "B"}
+
+
+def test_metadata_and_sbatch_emission(tmp_path):
+    plans = sweep_runs("fixed_depth", high_res_dir="/data/hr", scales=[0.5])
+    path = write_metadata(plans[0], tmp_path)
+    text = path.read_text()
+    assert "scale: 0.5" in text and "argv:" in text
+
+    from adunet.cli.run_experiment import main as sweep_main
+
+    sweep_main([
+        "--experiment", "fixed_depth",
+        "--mode", "sbatch",
+        "--high_res_dir", "/data/hr",
+        "--scales", "0.5",
+        "--metadata_dir", str(tmp_path / "meta"),
+        "--sbatch_dir", str(tmp_path / "sbatch"),
+    ])
+    scripts = list((tmp_path / "sbatch").glob("*.sbatch"))
+    assert len(scripts) == 1
+    assert "python -m adunet.cli.train_sr" in scripts[0].read_text()
+
+
+def test_unknown_experiment_raises():
+    with pytest.raises(ValueError):
+        sweep_runs("nope", high_res_dir="/x")
