@@ -56,11 +56,18 @@ def conv1x1(features: int, dtype: Any = jnp.float32, name: str | None = None, **
 
 
 class ConvBlock(nn.Module):
-    """(Conv3x3 → Norm → ReLU) x2 at constant spatial size."""
+    """(Conv3x3 → Norm → ReLU) x2 at constant spatial size.
+
+    With ``fused_norm=True`` (default) the LayerNorm+ReLU pair runs as one
+    Pallas kernel on TPU (bf16 in/out, f32 statistics in VMEM) — identical
+    numerics to the unfused path, which remains the fallback everywhere else
+    (adunet.kernels.fused_norm).
+    """
 
     features: int
     norm: str = "layer"  # "layer" | "batch" | "none"
     dtype: Any = jnp.float32
+    fused_norm: bool = True
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -68,6 +75,17 @@ class ConvBlock(nn.Module):
             x = conv3x3(self.features, self.dtype, name=f"conv{i}")(x)
             if self.norm == "layer":
                 # Keras LayerNormalization(axis=-1): eps 1e-3, learnable scale+bias.
+                if self.fused_norm:
+                    from adunet.kernels import layer_norm_relu
+
+                    gamma = self.param(
+                        f"norm{i}_scale", nn.initializers.ones, (self.features,), jnp.float32
+                    )
+                    beta = self.param(
+                        f"norm{i}_bias", nn.initializers.zeros, (self.features,), jnp.float32
+                    )
+                    x = layer_norm_relu(x, gamma, beta, 1e-3)
+                    continue
                 x = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name=f"norm{i}")(x)
             elif self.norm == "batch":
                 x = nn.BatchNorm(
