@@ -58,6 +58,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--initial_epoch", type=int, default=0)
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--preview_patches", type=int, default=3)
+    parser.add_argument("--profile", action="store_true",
+                        help="Capture a jax.profiler trace of the first epoch into <run_dir>/profile.")
     return parser.parse_args(argv)
 
 
@@ -202,6 +204,13 @@ def train(cfg) -> dict:
         if initial_epoch == 0:
             initial_epoch = int(last_step)
             print(f"[info] resuming from epoch {initial_epoch} (checkpoint step).")
+    elif ckpt.latest_step() is not None:
+        # BackupAndRestore semantics (reference train_adaptive_unet.py:613-620):
+        # a crashed/preempted run restarted with the same dirs auto-resumes.
+        restored = ckpt.restore_latest(state)
+        state = replicate(restored, mesh)
+        initial_epoch = int(ckpt.latest_step())
+        print(f"[info] auto-resume from existing checkpoints at epoch {initial_epoch}.")
     elif initial_epoch > 0:
         print("[warn] --initial_epoch was set without --resume_from; training will skip "
               "the initial epochs but start from random weights.")
@@ -234,6 +243,7 @@ def train(cfg) -> dict:
         mesh=mesh,
         log_dir=run_dir,
         tb_writer=tb_writer,
+        profile_dir=(run_dir / "profile") if cfg.profile else None,
     )
     state = result.state
     print("Training complete.")

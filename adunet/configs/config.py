@@ -62,6 +62,7 @@ class SRTrainConfig:
     consistent_degradation: bool = False
     remat: bool = False
     n_devices: Optional[int] = None  # None = all visible devices
+    profile: bool = False
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink

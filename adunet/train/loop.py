@@ -110,6 +110,7 @@ def fit(
     log_dir: Optional[str | Path] = None,
     samples_per_step: Optional[int] = None,
     reduce_lr_on_plateau: Optional[Dict[str, Any]] = None,
+    profile_dir: Optional[str | Path] = None,
     verbose: int = 1,
     tb_writer=None,
 ) -> FitResult:
@@ -162,6 +163,10 @@ def fit(
         return int(leaf.shape[0])
 
     for epoch in range(initial_epoch, epochs):
+        # first-class profiling (the reference disabled its profiler and
+        # scraped logs instead — SURVEY.md §5): trace the first epoch
+        if profile_dir is not None and epoch == initial_epoch:
+            jax.profiler.start_trace(str(profile_dir))
         t0 = time.perf_counter()
         images_seen = 0
         acc = None  # metric sums stay on device; one host sync per epoch
@@ -177,6 +182,11 @@ def fit(
             )
         jax.block_until_ready(acc)
         duration = time.perf_counter() - t0
+        if profile_dir is not None and epoch == initial_epoch:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
         train_metrics = {
             k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
         }

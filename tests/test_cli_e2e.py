@@ -206,3 +206,32 @@ def test_inspect_cli(tiny_dataset, tmp_path):
         "--output-dir", str(out),
     ])
     assert list(out.glob("*.png"))
+
+
+def test_train_sr_resume(tiny_dataset, tmp_path):
+    """Resume semantics: second run restores from the Orbax checkpoint and
+    continues at the stored epoch (reference --resume_from/--initial_epoch,
+    train_adaptive_unet.py:496-522)."""
+    from adunet.cli.train_sr import main as train_main
+
+    common = [
+        "--scale", "0.5", "--depth_override", "1",
+        "--base_channels", "8", "--residual_head_channels", "8",
+        "--patch_size", "32", "--patches_per_image", "1",
+        "--batch_size", "8", "--patience", "10",
+        "--high_res_dir", str(tiny_dataset), "--image_suffix", ".npy",
+        "--model_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+    ]
+    train_main(common + ["--epochs", "2", "--run_name", "part1"])
+    ckpt = tmp_path / "models" / "unet_adaptive_scale0.50_depth1"
+    assert ckpt.exists()
+
+    train_main(common + [
+        "--epochs", "4", "--run_name", "part2",
+        "--resume_from", str(ckpt),
+    ])
+    rows = (tmp_path / "logs" / "part2" / "epoch_metrics.csv").read_text().strip().splitlines()
+    # resumed at epoch 3 and 4 -> exactly 2 data rows, first labelled epoch 3
+    assert len(rows) == 3
+    assert rows[1].split(",")[0] == "3"
