@@ -152,6 +152,7 @@ def fit(
         log_dir.mkdir(parents=True, exist_ok=True)
 
     train_it = iter(train_iter)
+    next_batch = None  # carried across epochs so exactly one extra pull total
 
     def put(batch):
         if mesh is not None:
@@ -170,11 +171,16 @@ def fit(
         t0 = time.perf_counter()
         images_seen = 0
         acc = None  # metric sums stay on device; one host sync per epoch
+        # single-step device prefetch: put() the next batch while the current
+        # step executes (dispatch is async, so the transfer overlaps compute)
+        if next_batch is None:
+            next_batch = put(next(train_it))
         for _ in range(steps_per_epoch):
-            batch = put(next(train_it))
+            batch = next_batch
             rng, step_rng = jax.random.split(rng)
             images_seen += samples_per_step or batch_size_of(batch)
             state, metrics = train_step(state, batch, step_rng)
+            next_batch = put(next(train_it))
             acc = (
                 metrics
                 if acc is None
