@@ -133,9 +133,13 @@ def train(cfg) -> dict:
     ckpt_dir = model_dir / run_name
 
     print(f"Model: depth={cfg.depth} params={n_params:,} devices={n_dev} protocol={protocol.key}")
-    (run_dir / "model_summary.txt").write_text(
-        f"{model!r}\nTotal params: {n_params:,}\n"
-    )
+    try:
+        from flax import linen as nn
+
+        table = nn.tabulate(model, jax.random.key(0), compute_flops=False)(sample, train=False)
+    except Exception:
+        table = repr(model)
+    (run_dir / "model_summary.txt").write_text(f"{table}\nTotal params: {n_params:,}\n")
 
     ckpt = CheckpointManager(ckpt_dir, monitor="val_dice", mode="max")
 

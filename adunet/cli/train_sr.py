@@ -184,8 +184,14 @@ def train(cfg) -> dict:
         "created_at": timestamp,
     }
     (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
+    try:
+        from flax import linen as nn
+
+        table = nn.tabulate(model, jax.random.key(0), compute_flops=False)(sample[:1])
+    except Exception:
+        table = repr(model)
     (run_dir / "model_summary.txt").write_text(
-        f"{model!r}\nTotal params: {n_params:,}\ndepth: {info['depth']}\n"
+        f"{table}\nTotal params: {n_params:,}\ndepth: {info['depth']}\n"
         f"bottleneck: {info['bottleneck_size']}px\n"
     )
     print(f"Model: depth={info['depth']} params={n_params:,} devices={n_dev}")

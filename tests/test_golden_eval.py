@@ -1,0 +1,74 @@
+"""Golden end-to-end eval regression: identity model == bicubic baseline.
+
+The adaptive SR U-Net starts as the identity (zero-init residual head), so
+evaluating a fresh model measures exactly the quality of the synthetic
+bicubic degradation itself — a closed, deterministic number that pins the
+entire stack (patch tiling → on-device degrade → forward → luma → shave →
+PSNR/SSIM aggregation). Any change to degradation kernels, luma, shave or
+metric math shifts it.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adunet.data.sr_pipeline import GridPatchDataset
+from adunet.evaluate import evaluate_sr, infer_eval_shave
+from adunet.models import build_super_resolution_unet
+from adunet.train import create_train_state, make_optimizer
+from adunet.metrics import psnr
+from adunet.ops import degrade, rgb_to_luma_bt601
+
+
+@pytest.fixture(scope="module")
+def golden_files(tmp_path_factory):
+    root = tmp_path_factory.mktemp("golden")
+    rng = np.random.default_rng(12345)
+    files = []
+    for i in range(3):
+        coarse = rng.random((16, 16, 3), dtype=np.float32)
+        img = np.clip(np.repeat(np.repeat(coarse, 4, 0), 4, 1), 0, 1)  # 64x64
+        path = root / f"g{i}.npy"
+        np.save(path, img.astype(np.float32))
+        files.append(str(path))
+    return files
+
+
+def test_identity_model_psnr_equals_degradation_psnr(golden_files):
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=64, base_channels=8
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 64, 64, 3)), make_optimizer(1e-4)
+    )
+    ds = GridPatchDataset(golden_files, patch_size=64, scale=0.5, batch_size=4)
+    shave = infer_eval_shave(0.5)  # = 4
+    summary, rows = evaluate_sr(state, ds, eval_scale=0.5, eval_shave=shave)
+    assert summary.samples == 3
+
+    # direct computation of the bicubic-degradation PSNR on the same patches
+    direct = []
+    for f in golden_files:
+        hr = np.load(f)[None]
+        lr = np.asarray(degrade(jnp.asarray(hr), 0.5, 64))
+        lr_y = rgb_to_luma_bt601(jnp.clip(jnp.asarray(lr), 0, 1))
+        hr_y = rgb_to_luma_bt601(jnp.asarray(hr))
+        lr_y = lr_y[:, shave:-shave, shave:-shave]
+        hr_y = hr_y[:, shave:-shave, shave:-shave]
+        direct.append(float(psnr(hr_y, lr_y)[0]))
+
+    got = sorted(r["psnr_y"] for r in rows)
+    np.testing.assert_allclose(got, sorted(direct), rtol=1e-5)
+    assert 20.0 < summary.psnr_mean < 60.0  # sanity band for smooth synthetic data
+
+
+def test_eval_shave_defaults_match_reference():
+    # 2 * round(1/scale) (evaluate_model.py:49-54)
+    assert infer_eval_shave(0.5) == 4
+    assert infer_eval_shave(0.3) == 6
+    assert infer_eval_shave(0.2) == 10
+    assert infer_eval_shave(0.9) == 2
+    assert infer_eval_shave(0.5, explicit=7) == 7
+    assert infer_eval_shave(0.5, explicit=-3) == 0
