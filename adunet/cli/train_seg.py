@@ -61,7 +61,7 @@ def train(cfg) -> dict:
     from adunet.data import build_isic_dataset
     from adunet.losses import make_bce_dice_loss, make_hybrid_ce_dice_loss
     from adunet.models import build_adaptive_depth_unet
-    from adunet.parallel import make_mesh, replicate
+    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -71,6 +71,7 @@ def train(cfg) -> dict:
         make_seg_train_step,
     )
 
+    maybe_initialize_distributed()
     protocol = PROTOCOLS[cfg.protocol]
 
     train_ds, train_count = build_isic_dataset(

@@ -81,7 +81,7 @@ def train(cfg) -> dict:
     from adunet.evaluate import infer_eval_shave
     from adunet.losses import build_losses_and_metrics, make_perceptual_fn
     from adunet.models import build_super_resolution_unet
-    from adunet.parallel import make_mesh, replicate
+    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -92,6 +92,8 @@ def train(cfg) -> dict:
         make_sr_val_step,
     )
     from adunet.utils import split_indices
+
+    maybe_initialize_distributed()
 
     if cfg.high_res_dir is None:
         raise ValueError("--high_res_dir is required (no cluster default paths in this build).")

@@ -1,5 +1,6 @@
 """Mesh construction and sharding rules."""
 
+from adunet.parallel.distributed import maybe_initialize_distributed
 from adunet.parallel.mesh import (
     make_mesh,
     replicated_sharding,
@@ -9,6 +10,7 @@ from adunet.parallel.mesh import (
 )
 
 __all__ = [
+    "maybe_initialize_distributed",
     "make_mesh",
     "replicated_sharding",
     "batch_sharding",

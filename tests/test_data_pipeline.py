@@ -1,0 +1,142 @@
+"""Data-layer tests incl. real PNG decode path and pipeline semantics."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from adunet.data import (
+    GridPatchDataset,
+    TrainingPatchDataset,
+    collect_isic_pairs,
+    discover_pairs,
+    find_images,
+    grid_patches,
+    load_rgb_image_full,
+    random_patches,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def png_dataset(tmp_path_factory):
+    root = tmp_path_factory.mktemp("png_data")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        img = (rng.random((80, 96, 3)) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / f"im{i}.png"), img[..., ::-1])  # BGR write
+    return root
+
+
+def test_png_roundtrip_loader(png_dataset):
+    files = find_images(png_dataset, ".png")
+    assert len(files) == 4
+    img = load_rgb_image_full(files[0])
+    assert img.shape == (80, 96, 3) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+
+
+def test_training_patch_dataset_stream(png_dataset):
+    files = find_images(png_dataset, ".png")
+    ds = TrainingPatchDataset(
+        files, patch_size=32, patches_per_image=2, scale=0.5,
+        batch_size=4, seed=3, shuffle_buffer=8,
+    )
+    assert ds.total_patches == 8
+    it = iter(ds)
+    batches = [next(it) for _ in range(3)]  # infinite stream keeps going
+    for b in batches:
+        assert b.shape == (4, 32, 32, 3)
+        assert b.dtype == np.float32
+
+
+def test_grid_dataset_labels_and_tiling(png_dataset):
+    files = find_images(png_dataset, ".png")
+    ds = GridPatchDataset(files, patch_size=32, scale=0.5, batch_size=3, stride=32)
+    # 80x96 with 32 stride: rows 0,32 (48 doesn't fit) x cols 0,32,64 -> 6/img
+    assert ds.total_patches == 24
+    assert ds.patch_labels[0].endswith("#patch0000")
+    total = sum(b.shape[0] for b in ds)
+    assert total == 24
+
+
+def test_grid_patches_fallback_patch():
+    img = np.random.default_rng(0).random((40, 40, 3)).astype(np.float32)
+    tiles = grid_patches(img, 32, stride=64)
+    assert tiles.shape[0] == 1  # stride skips -> bottom-right fallback
+
+
+def test_isic_pair_discovery_errors(tmp_path):
+    (tmp_path / "img").mkdir()
+    (tmp_path / "mask").mkdir()
+    np.save(tmp_path / "img" / "isic_0001.npy", np.zeros((4, 4, 3), np.float32))
+    np.save(tmp_path / "img" / "isic_0001_superpixels.npy", np.zeros((4, 4, 3), np.float32))
+    np.save(tmp_path / "mask" / "isic_0001_segmentation.npy", np.zeros((4, 4), np.float32))
+    pairs = collect_isic_pairs(tmp_path / "img", tmp_path / "mask")
+    assert len(pairs) == 1  # superpixels filtered
+
+    np.save(tmp_path / "img" / "isic_0002.npy", np.zeros((4, 4, 3), np.float32))
+    with pytest.raises(ValueError, match="Missing 1 segmentation masks"):
+        collect_isic_pairs(tmp_path / "img", tmp_path / "mask")
+
+
+def test_generic_pair_discovery_cityscapes_suffixes(tmp_path):
+    (tmp_path / "img").mkdir()
+    (tmp_path / "mask").mkdir()
+    np.save(tmp_path / "img" / "city_000_leftimg8bit.npy", np.zeros((4, 4, 3), np.float32))
+    np.save(tmp_path / "mask" / "city_000_gtfine_labelids.npy", np.zeros((4, 4), np.float32))
+    pairs = discover_pairs(tmp_path / "img", tmp_path / "mask", ".npy", ".npy")
+    assert len(pairs) == 1
+
+
+def test_augment_preserves_mask_binarity():
+    import jax
+
+    from adunet.data import augment_pair_batch
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray((rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32))
+    out_img, out_mask = jax.jit(augment_pair_batch)(images, masks, jax.random.key(0))
+    assert out_img.shape == images.shape
+    vals = np.unique(np.asarray(out_mask))
+    assert set(vals.tolist()) <= {0.0, 1.0}
+
+
+def test_augment_identity_when_no_jitter():
+    """With scale range [1,1] and a key whose rot/flips are no-ops the crop
+    math must be the identity resample."""
+    import jax
+
+    from adunet.data.augment import random_resized_crop_pair
+
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.random((16, 16, 3), dtype=np.float32))
+    mask = jnp.asarray((rng.random((16, 16, 1)) > 0.5).astype(np.float32))
+    out_img, out_mask = random_resized_crop_pair(img, mask, jax.random.key(0), 1.0, 1.0)
+    np.testing.assert_allclose(np.asarray(out_img), np.asarray(img), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_mask), np.asarray(mask), atol=0)
+
+
+def test_scale_jitter_crop_matches_tf_resize_then_crop():
+    """The coordinate-sampling augment equals tf resize(bilinear)+crop for a
+    fixed jitter size and offset (the dynamic-shape path it replaces)."""
+    tf = pytest.importorskip("tensorflow")
+    import jax
+
+    from adunet.data.augment import _linear_gather
+
+    rng = np.random.default_rng(2)
+    size, scaled, oy, ox = 16, 18, 1, 2
+    img = rng.random((size, size, 3), dtype=np.float32)
+
+    idx = jnp.arange(size, dtype=jnp.float32)
+    ratio = size / scaled
+    ys = (oy + idx + 0.5) * ratio - 0.5
+    xs = (ox + idx + 0.5) * ratio - 0.5
+    ours = np.asarray(_linear_gather(_linear_gather(jnp.asarray(img), ys, 0), xs, 1))
+
+    resized = tf.image.resize(img[None], [scaled, scaled], method="bilinear").numpy()[0]
+    theirs = resized[oy : oy + size, ox : ox + size]
+    np.testing.assert_allclose(ours, theirs, atol=2e-6)
