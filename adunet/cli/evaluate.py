@@ -81,6 +81,9 @@ def load_checkpoint_state(
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = parse_args(argv)
 
     from adunet.data import find_images, make_eval_patch_dataset

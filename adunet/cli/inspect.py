@@ -97,6 +97,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = parse_args(argv)
 
     import jax.numpy as jnp

@@ -60,6 +60,9 @@ python -m adunet.cli.{module} {args}
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = parse_args(argv)
 
     from adunet.experiments import sweep_runs, write_metadata

@@ -229,6 +229,9 @@ def train(cfg) -> dict:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     train(config_from_args(parse_args(argv)))
 
 

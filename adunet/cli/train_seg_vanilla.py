@@ -170,6 +170,9 @@ def train(args: argparse.Namespace) -> dict:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     train(parse_args(argv))
 
 

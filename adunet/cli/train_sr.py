@@ -301,6 +301,9 @@ def train(cfg) -> dict:
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = parse_args(argv)
     if args.low_res_dir:
         print("[info] --low_res_dir is ignored in patch mode; LR patches are generated on the fly.")

@@ -177,6 +177,9 @@ def _seg_objective_factory(args):
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     args = parse_args(argv)
 
     from adunet.tune import create_study

@@ -29,6 +29,9 @@ STEPS_LONG = 25
 
 
 def main() -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()
     import jax
     import jax.numpy as jnp
 

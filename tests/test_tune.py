@@ -97,3 +97,27 @@ def test_tune_cli_seg(tmp_path):
     payload = json.loads(results.read_text())
     assert payload["n_trials"] == 2
     assert payload["best_value"] is not None
+
+
+def test_tune_cli_sr(tmp_path):
+    """One 1-epoch SR trial over tiny npy images."""
+    rng = np.random.default_rng(0)
+    hr = tmp_path / "hr"
+    hr.mkdir()
+    for i in range(4):
+        np.save(hr / f"x{i}.npy", rng.random((48, 48, 3)).astype(np.float32))
+
+    from adunet.cli.tune import main as tune_main
+
+    results = tmp_path / "sr_results.json"
+    tune_main([
+        "--workload", "sr",
+        "--n-trials", "1",
+        "--epochs", "1",
+        "--image-size", "32",
+        "--high-res-dir", str(hr),
+        "--image-suffix", ".npy",
+        "--results", str(results),
+    ])
+    payload = json.loads(results.read_text())
+    assert payload["best_value"] is not None
