@@ -3,6 +3,7 @@
 from adunet.parallel.distributed import maybe_initialize_distributed
 from adunet.parallel.mesh import (
     make_mesh,
+    make_dp_spatial_mesh,
     replicated_sharding,
     batch_sharding,
     shard_batch,
@@ -12,6 +13,7 @@ from adunet.parallel.mesh import (
 __all__ = [
     "maybe_initialize_distributed",
     "make_mesh",
+    "make_dp_spatial_mesh",
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",

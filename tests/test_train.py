@@ -170,3 +170,29 @@ def test_cosine_schedule_matches_keras_semantics():
     assert float(sched(50)) == pytest.approx(5e-4, rel=1e-6)
     assert float(sched(100)) == pytest.approx(0.0, abs=1e-9)
     assert float(sched(200)) == pytest.approx(0.0, abs=1e-9)  # clamped past end
+
+
+def test_dp_plus_spatial_sharding_matches_single_device():
+    """2-D ('data','space') mesh: batch AND height sharded; GSPMD inserts
+    conv halo exchanges — loss and params must match the unsharded run."""
+    from adunet.parallel import make_dp_spatial_mesh
+
+    mesh = make_dp_spatial_mesh(spatial_shards=2, n_devices=8)
+    assert mesh.devices.shape == (4, 2)
+
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=2, input_size=64, base_channels=8)
+    hr = _synthetic_hr(n=8, size=64)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+
+    s1 = create_train_state(model, jax.random.key(0), hr[:1], make_optimizer(1e-3))
+    s1, m1 = step(s1, jnp.asarray(hr), None)
+
+    s2 = create_train_state(model, jax.random.key(0), hr[:1], make_optimizer(1e-3))
+    s2 = replicate(s2, mesh)
+    s2, m2 = step(s2, shard_batch(jnp.asarray(hr), mesh), None)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    l1 = jax.tree_util.tree_leaves(s1.params)[0]
+    l2 = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
