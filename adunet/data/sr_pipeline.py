@@ -20,6 +20,8 @@ from __future__ import annotations
 import math
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
 
@@ -75,15 +77,25 @@ class TrainingPatchDataset:
         self.steps_per_epoch = math.ceil(self.total_patches / batch_size)
 
     def _patch_stream(self, rng: np.random.Generator) -> Iterator[np.ndarray]:
+        """Decode images with a small thread pool (cv2 releases the GIL), a
+        sliding window of pending decodes ahead of the consumer."""
         files = list(self.hr_files)
-        while True:
-            rng.shuffle(files)
-            for path in files:
-                image = load_rgb_image_full(path)
-                for patch in random_patches(
-                    image, self.patch_size, count=self.patches_per_image, rng=rng
-                ):
-                    yield patch
+        window = 4
+
+        with ThreadPoolExecutor(max_workers=window) as pool:
+            while True:
+                rng.shuffle(files)
+                pending = deque()
+                idx = 0
+                while idx < len(files) or pending:
+                    while idx < len(files) and len(pending) < window:
+                        pending.append(pool.submit(load_rgb_image_full, files[idx]))
+                        idx += 1
+                    image = pending.popleft().result()
+                    for patch in random_patches(
+                        image, self.patch_size, count=self.patches_per_image, rng=rng
+                    ):
+                        yield patch
 
     def _batch_stream(self) -> Iterator[np.ndarray]:
         rng = np.random.default_rng(self.seed)
