@@ -1,0 +1,175 @@
+"""Whole-model forward parity against a Keras oracle.
+
+Builds the adaptive SR U-Net *in Keras/TF* following the reference's
+documented architecture (conv3x3→LayerNorm→ReLU blocks, fractional
+tf.image.resize pooling, resize-to-match + smooth-conv + concat decoder,
+zero-init residual head with clipped add — train_adaptive_unet.py:200-287),
+loads OUR Flax parameters into it, and checks the two frameworks produce the
+same output for the same input. This pins every semantic detail at once:
+padding, LN epsilon/axis, resize kernels and edge handling, concat order,
+residual head, and clipping.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from adunet.models import build_super_resolution_unet, build_adaptive_depth_unet
+
+tf = pytest.importorskip("tensorflow")
+
+
+def _keras_adaptive_sr(scale, depth, base, head_ch, size):
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    def conv_block(x, nf, name):
+        x = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(x)
+        x = L.LayerNormalization(axis=-1, name=f"{name}_norm0")(x)
+        x = L.Activation("relu")(x)
+        x = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(x)
+        x = L.LayerNormalization(axis=-1, name=f"{name}_norm1")(x)
+        return L.Activation("relu")(x)
+
+    def resize_by_scale(x):
+        h = tf.shape(x)[1]
+        w = tf.shape(x)[2]
+        nh = tf.maximum(tf.cast(tf.math.ceil(tf.cast(h, tf.float32) * scale), tf.int32), 1)
+        nw = tf.maximum(tf.cast(tf.math.ceil(tf.cast(w, tf.float32) * scale), tf.int32), 1)
+        return tf.image.resize(x, [nh, nw], method="bilinear", antialias=True)
+
+    inputs = Input(shape=(size, size, 3))
+    x = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(x, nf, f"enc{level}")
+        x = L.Lambda(resize_by_scale)(skip)
+        skips.append(skip)
+        nf *= 2
+    x = conv_block(x, nf, "bottleneck")
+    for level, skip in reversed(list(enumerate(skips))):
+        nf //= 2
+        target = skip.shape[1]
+        x = L.Lambda(lambda t, s=target: tf.image.resize(t, [s, s], method="bilinear", antialias=True))(x)
+        x = L.Conv2D(nf, 3, padding="same", activation="relu", name=f"dec{level}_smooth")(x)
+        x = L.Concatenate()([x, skip])
+        x = conv_block(x, nf, f"dec{level}")
+    x = conv_block(x, head_ch, "head")
+    residual = L.Conv2D(3, 1, padding="same", kernel_initializer="zeros",
+                        bias_initializer="zeros", name="residual_rgb")(x)
+    out = L.Lambda(lambda t: tf.clip_by_value(t[0] + t[1], 0.0, 1.0))([inputs, residual])
+    return Model(inputs, out)
+
+
+def _load_flax_params_into_keras(kmodel, params):
+    def conv_w(tree):
+        return [np.asarray(tree["kernel"]), np.asarray(tree["bias"])]
+
+    def block_w(name):
+        tree = params[name]
+        return {
+            f"{name}_conv0": conv_w(tree["conv0"]),
+            f"{name}_norm0": [np.asarray(tree["norm0"]["scale"]), np.asarray(tree["norm0"]["bias"])],
+            f"{name}_conv1": conv_w(tree["conv1"]),
+            f"{name}_norm1": [np.asarray(tree["norm1"]["scale"]), np.asarray(tree["norm1"]["bias"])],
+        }
+
+    weight_map = {}
+    for name in params:
+        if name == "residual_rgb":
+            weight_map["residual_rgb"] = conv_w(params[name])
+        elif name.endswith("_smooth"):
+            weight_map[name] = conv_w(params[name])
+        else:
+            weight_map.update(block_w(name))
+
+    for layer in kmodel.layers:
+        if layer.name in weight_map:
+            layer.set_weights(weight_map[layer.name])
+
+
+def test_adaptive_sr_forward_matches_keras_oracle():
+    scale, depth, base, head_ch, size = 0.5, 2, 8, 8, 64
+    model, _ = build_super_resolution_unet(
+        scale=scale, depth_override=depth, input_size=size,
+        base_channels=base, residual_head_channels=head_ch,
+    )
+    rng = np.random.default_rng(0)
+    x = rng.random((2, size, size, 3), dtype=np.float32)
+    variables = jax.jit(model.init)(jax.random.key(7), jnp.asarray(x))
+    # randomize the head so the comparison isn't trivially identity
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    params["residual_rgb"]["kernel"] = rng.normal(0, 0.05, params["residual_rgb"]["kernel"].shape).astype(np.float32)
+    ours = np.asarray(jax.jit(model.apply)({"params": params}, jnp.asarray(x)))
+
+    kmodel = _keras_adaptive_sr(scale, depth, base, head_ch, size)
+    _load_flax_params_into_keras(kmodel, params)
+    theirs = kmodel(x, training=False).numpy()
+
+    assert not np.allclose(theirs, np.clip(x, 0, 1))  # non-trivial output
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_adaptive_seg_forward_matches_keras_oracle():
+    """BatchNorm flavor: inference-mode parity (moving stats at init)."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    size, base, depth = 32, 8, 2
+    model = build_adaptive_depth_unet(input_size=size, base_channels=base, depth=depth)
+    rng = np.random.default_rng(1)
+    x = rng.random((2, size, size, 3), dtype=np.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(jax.random.key(3), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    ours = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, jnp.asarray(x))
+    )
+
+    def conv_block(t, nf, name):
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(t)
+        t = L.BatchNormalization(name=f"{name}_norm0")(t)
+        t = L.Activation("relu")(t)
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(t)
+        t = L.BatchNormalization(name=f"{name}_norm1")(t)
+        return L.Activation("relu")(t)
+
+    inputs = Input(shape=(size, size, 3))
+    t = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(t, nf, f"enc{level}")
+        t = L.MaxPooling2D(2)(skip)
+        skips.append(skip)
+        nf *= 2
+    t = conv_block(t, nf, "bottleneck")
+    for level, skip in reversed(list(enumerate(skips))):
+        nf //= 2
+        t = L.UpSampling2D(size=(2, 2), interpolation="bilinear")(t)
+        t = L.Concatenate()([t, skip])
+        t = conv_block(t, nf, f"dec{level}")
+    out = L.Conv2D(1, 1, activation="sigmoid", name="lesion_mask")(t)
+    kmodel = Model(inputs, out)
+
+    # keras BN epsilon default is 1e-3 like ours; copy weights incl. moving stats
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    for layer in kmodel.layers:
+        name = layer.name
+        if name.endswith(("_conv0", "_conv1")) or name == "lesion_mask":
+            block, _, suffix = name.rpartition("_")
+            if name == "lesion_mask":
+                layer.set_weights([params["lesion_mask"]["kernel"], params["lesion_mask"]["bias"]])
+            else:
+                tree = params[block][f"conv{suffix[-1]}"]
+                layer.set_weights([tree["kernel"], tree["bias"]])
+        elif "_norm" in name:
+            block, _, norm = name.rpartition("_")
+            p = params[block][norm]
+            s = stats[block][norm]
+            layer.set_weights([p["scale"], p["bias"], s["mean"], s["var"]])
+
+    theirs = kmodel(x, training=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
