@@ -196,3 +196,33 @@ def test_dp_plus_spatial_sharding_matches_single_device():
     l1 = jax.tree_util.tree_leaves(s1.params)[0]
     l2 = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-6)
+
+
+def test_combined_loss_trains(tmp_path):
+    """combined = MSE + 0.1*(1-SSIM) + 0.01*VGG19-perceptual compiles and
+    steps (random-init VGG in this offline image; reference default loss is
+    charbonnier so baseline parity does not depend on the weights)."""
+    from adunet.losses import build_losses_and_metrics, make_perceptual_fn
+
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    perceptual = make_perceptual_fn(input_size=32)
+    loss_fn, _m = build_losses_and_metrics("combined", perceptual_fn=perceptual)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    step = make_sr_train_step(model, loss_fn, donate=False)
+    state, metrics = step(state, jnp.asarray(hr), None)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_profile_trace_written(tmp_path):
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+    fit(
+        state, _loop(hr, 4), step, steps_per_epoch=1, epochs=2,
+        profile_dir=tmp_path / "profile", verbose=0,
+    )
+    assert (tmp_path / "profile").exists()
+    assert list((tmp_path / "profile").rglob("*"))  # trace files written
