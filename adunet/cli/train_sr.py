@@ -87,7 +87,6 @@ def train(cfg) -> dict:
         create_train_state,
         fit,
         make_optimizer,
-        make_sr_eval_step,
         make_sr_train_step,
         make_sr_val_step,
     )

@@ -14,7 +14,6 @@ from functools import partial
 from typing import Callable, Dict
 
 import jax
-import jax.numpy as jnp
 
 from adunet.data.augment import augment_pair_batch, flip_pair_batch
 from adunet.metrics.seg import dice_coefficient, iou_score
