@@ -173,3 +173,90 @@ def test_adaptive_seg_forward_matches_keras_oracle():
 
     theirs = kmodel(x, training=False).numpy()
     np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_vanilla_seg_forward_matches_keras_oracle():
+    """LayerNorm blocks + Conv2DTranspose(2x2, stride 2) decoder — transpose
+    conv layout/semantics are the risk area this test pins."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    from adunet.models import VanillaSegUNet
+
+    size, base, depth = 32, 8, 2
+    model = VanillaSegUNet(num_classes=1, base_channels=base, depth=depth)
+    rng = np.random.default_rng(4)
+    x = rng.random((2, size, size, 3), dtype=np.float32)
+    variables = jax.jit(model.init)(jax.random.key(9), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    ours = np.asarray(jax.jit(model.apply)(variables, jnp.asarray(x)))
+
+    def conv_block(t, nf, name):
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(t)
+        t = L.LayerNormalization(axis=-1, name=f"{name}_norm0")(t)
+        t = L.Activation("relu")(t)
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(t)
+        t = L.LayerNormalization(axis=-1, name=f"{name}_norm1")(t)
+        return L.Activation("relu")(t)
+
+    inputs = Input(shape=(size, size, 3))
+    t = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(t, nf, f"enc{level}")
+        t = L.MaxPooling2D(2)(skip)
+        skips.append(skip)
+        nf *= 2
+    t = conv_block(t, nf, "bottleneck")
+    for level, skip in reversed(list(enumerate(skips))):
+        nf //= 2
+        t = L.Conv2DTranspose(nf, 2, strides=2, padding="same", name=f"dec{level}_up")(t)
+        t = L.Concatenate()([t, skip])
+        t = conv_block(t, nf, f"dec{level}")
+    out = L.Conv2D(1, 1, activation="sigmoid", name="mask_logits")(t)
+    kmodel = Model(inputs, out)
+
+    for layer in kmodel.layers:
+        name = layer.name
+        if name.endswith("_up"):
+            tree = params[name]
+            # flax ConvTranspose kernel: (kh, kw, in, out); Keras Conv2DTranspose
+            # expects (kh, kw, out, in) and correlates with a flipped kernel
+            k = np.asarray(tree["kernel"])
+            k_keras = np.transpose(k[::-1, ::-1], (0, 1, 3, 2))
+            layer.set_weights([k_keras, np.asarray(tree["bias"])])
+        elif name.endswith(("_conv0", "_conv1")):
+            block, _, suffix = name.rpartition("_")
+            tree = params[block][f"conv{suffix[-1]}"]
+            layer.set_weights([tree["kernel"], tree["bias"]])
+        elif "_norm" in name:
+            block, _, norm = name.rpartition("_")
+            p = params[block][norm]
+            layer.set_weights([p["scale"], p["bias"]])
+        elif name == "mask_logits":
+            layer.set_weights([params["mask_logits"]["kernel"], params["mask_logits"]["bias"]])
+
+    theirs = kmodel(x, training=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_vgg19_tower_matches_keras_applications():
+    """Our Flax VGG19 feature tower (through block4_conv4, caffe preprocessing)
+    equals keras.applications.VGG19 with the same (random) weights."""
+    from adunet.losses import VGG19Features
+
+    module = VGG19Features()
+    rng = np.random.default_rng(6)
+    x = rng.random((1, 64, 64, 3), dtype=np.float32)
+    variables = jax.jit(module.init)(jax.random.key(2), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    ours = np.asarray(jax.jit(module.apply)(variables, jnp.asarray(x)))
+
+    vgg = tf.keras.applications.VGG19(include_top=False, weights=None, input_shape=(64, 64, 3))
+    for name, tree in params.items():
+        vgg.get_layer(name).set_weights([tree["kernel"], tree["bias"]])
+    feat = tf.keras.Model(vgg.input, vgg.get_layer("block4_conv4").output)
+    pre = tf.keras.applications.vgg19.preprocess_input(x * 255.0)
+    theirs = feat(pre, training=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-4)
