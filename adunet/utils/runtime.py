@@ -17,8 +17,15 @@ def setup_runtime() -> None:
     """
     if os.environ.get("ADUNET_NO_COMPILE_CACHE") == "1":
         return
-    os.environ.setdefault(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.expanduser("~/.cache/adunet_xla_cache"),
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/adunet_xla_cache")
     )
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+    # This image's sitecustomize imports jax at interpreter startup, so the
+    # env vars are read before any user code runs — set the config directly.
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass

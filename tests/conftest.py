@@ -20,11 +20,12 @@ os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
 # Initialise the JAX CPU backend BEFORE any test module imports TensorFlow:
 # jax-import → tf-import → jax-backend-init deadlocks in this image (thread
 # pools collide); jax-init → tf-import → jax-use is fine.
-# Persistent compile cache cuts repeat-run times substantially.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_test_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
 import jax  # noqa: E402
+
+# Persistent compile cache cuts repeat-run times substantially. The image's
+# sitecustomize imports jax before env vars can bind, so set config directly.
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 # The image's sitecustomize registers the 'axon' remote-TPU plugin and calls
 # jax.config.update("jax_platforms", "axon,cpu"), which overrides the
