@@ -44,6 +44,7 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--auto_eval", action="store_true",
                         help="Run the offline evaluator after each SR training run.")
     parser.add_argument("--eval_hr_dir", type=str, default=None)
+    parser.add_argument("--eval_patch_size", type=int, default=256)
     parser.add_argument("--image_suffix", type=str, default=".png")
     parser.add_argument("--sbatch_dir", type=str, default="runs/sbatch")
     parser.add_argument("--extra_args", type=str, nargs=argparse.REMAINDER, default=[])
@@ -138,6 +139,7 @@ def main(argv: Optional[List[str]] = None) -> None:
                     "--scale", str(scale),
                     "--hr-dir", args.eval_hr_dir or args.high_res_dir,
                     "--image-suffix", args.image_suffix,
+                    "--patch-size", str(args.eval_patch_size),
                     "--output-dir", str(Path(args.log_dir) / "evaluation"),
                     "--run-name", f"{plan.name}_eval",
                 ])

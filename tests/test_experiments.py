@@ -65,3 +65,47 @@ def test_metadata_and_sbatch_emission(tmp_path):
 def test_unknown_experiment_raises():
     with pytest.raises(ValueError):
         sweep_runs("nope", high_res_dir="/x")
+
+
+def test_run_mode_with_auto_eval(tmp_path):
+    """Sweep 'run' mode end-to-end on CPU: train one scale, auto-evaluate,
+    artifacts land in the reference layout."""
+    import numpy as np
+
+    hr = tmp_path / "hr"
+    hr.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        coarse = rng.random((12, 12, 3), dtype=np.float32)
+        np.save(hr / f"im{i}.npy", np.clip(np.repeat(np.repeat(coarse, 4, 0), 4, 1), 0, 1))
+
+    from adunet.cli.run_experiment import main as sweep_main
+
+    sweep_main([
+        "--experiment", "fixed_depth",
+        "--mode", "run",
+        "--auto_eval",
+        "--scales", "0.5",
+        "--epochs", "1",
+        "--high_res_dir", str(hr),
+        "--image_suffix", ".npy",
+        "--model_dir", str(tmp_path / "models"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--metadata_dir", str(tmp_path / "metadata"),
+        "--reference_batches",
+        "--no_mixed_precision",
+        "--eval_patch_size", "32",
+        "--extra_args",
+        "--image_suffix", ".npy",
+        "--patch_size", "32",
+        "--patches_per_image", "1",
+        "--batch_size", "8",
+        "--base_channels", "8",
+        "--residual_head_channels", "8",
+        "--n_devices", "8",
+    ])
+    # training artifacts
+    assert (tmp_path / "metadata" / "exp_fixed_depth_scale0.50_depth3.txt").exists()
+    eval_dirs = list((tmp_path / "logs" / "evaluation").glob("*_eval"))
+    assert eval_dirs, "auto-eval report missing"
+    assert (eval_dirs[0] / "metrics.json").exists()
