@@ -1,9 +1,12 @@
 """Generate analysis figures from per-epoch CSV exports.
 
-Rebuild of /root/reference/Super_resolution/code/analyse_experiment_metrics.py:
-per-run best-val summaries, quality-vs-scale trend, convergence speed, and
-training-load figures. Accepts both this framework's epoch CSVs
-(``steps`` column) and the reference's (``steps_total``).
+Capability parity with the reference's trend analyser
+(/root/reference/Super_resolution/code/analyse_experiment_metrics.py): per-run
+best-validation summaries, quality-vs-scale trend, convergence speed, and
+training-load figures. Independent implementation: CSVs are parsed into
+columns (not row dicts) and the best epoch is selected by a NaN-aware argmin
+over the ``val_loss`` column. Accepts both this framework's epoch CSVs
+(``steps`` column) and the reference schema (``steps_total``).
 """
 
 from __future__ import annotations
@@ -14,11 +17,11 @@ import math
 import re
 from dataclasses import dataclass
 from pathlib import Path
-from typing import List, Sequence
+from typing import Dict, List, Sequence
 
-__all__ = ["RunSummary", "read_run_summary", "load_summaries"]
+__all__ = ["RunSummary", "summarize_run", "load_summaries"]
 
-SCALE_RE = re.compile(r"scale([0-9.]+)")
+_SCALE_TOKEN = re.compile(r"scale[_=]?(\d*\.?\d+)", re.IGNORECASE)
 
 
 @dataclass
@@ -34,59 +37,87 @@ class RunSummary:
 
 
 def parse_scale(run_name: str) -> float:
-    match = SCALE_RE.search(run_name)
-    if not match:
-        raise ValueError(f"Could not infer scale from run directory name: {run_name}")
-    return float(match.group(1).rstrip("."))
+    """Pull the shrink factor out of a run directory name like ``run_scale0.50``."""
+    hit = _SCALE_TOKEN.search(run_name)
+    if hit is None:
+        raise ValueError(f"Run name {run_name!r} carries no scale token")
+    return float(hit.group(1))
 
 
-def _as_float(row: dict, key: str) -> float:
-    value = row.get(key)
-    if value in (None, ""):
-        return math.nan
-    try:
-        return float(value)
-    except ValueError:
-        return math.nan
+def _read_columns(csv_path: Path) -> Dict[str, List[float]]:
+    """Parse an epoch CSV into float columns (NaN where a cell is blank)."""
+    with Path(csv_path).open("r", encoding="utf-8", newline="") as fh:
+        reader = csv.reader(fh)
+        try:
+            header = next(reader)
+        except StopIteration:
+            raise ValueError(f"Epoch CSV {csv_path} has no header") from None
+        columns: Dict[str, List[float]] = {name: [] for name in header}
+        for record in reader:
+            for name, cell in zip(header, record):
+                try:
+                    columns[name].append(float(cell))
+                except ValueError:
+                    columns[name].append(math.nan)
+    if not any(columns.values()):
+        raise ValueError(f"Epoch CSV {csv_path} has no data rows")
+    return columns
 
 
-def read_run_summary(csv_path: Path) -> RunSummary:
-    scale = parse_scale(csv_path.parent.name)
-    with csv_path.open("r", encoding="utf-8") as handle:
-        rows = list(csv.DictReader(handle))
-    if not rows:
-        raise ValueError(f"CSV {csv_path} is empty.")
+def _argmin_ignoring_nan(values: Sequence[float]) -> int:
+    """Index of the smallest finite-or-inf value; -1 if every entry is NaN."""
+    best_idx, best = -1, math.inf
+    for idx, value in enumerate(values):
+        if not math.isnan(value) and value < best:
+            best_idx, best = idx, value
+    return best_idx
 
-    val_rows = [row for row in rows if row.get("val_loss")]
-    best_row = min(val_rows, key=lambda row: float(row["val_loss"])) if val_rows else rows[-1]
 
-    steps = _as_float(best_row, "steps_total")
+def summarize_run(csv_path: Path) -> RunSummary:
+    """Best-val-loss summary of one run's epoch CSV."""
+    csv_path = Path(csv_path)
+    cols = _read_columns(csv_path)
+    n_rows = max(len(col) for col in cols.values())
+
+    def col(name: str) -> List[float]:
+        return cols.get(name) or [math.nan] * n_rows
+
+    idx = _argmin_ignoring_nan(col("val_loss"))
+    if idx < 0:
+        idx = n_rows - 1  # no validation metrics: fall back to the final epoch
+
+    def at(name: str) -> float:
+        series = col(name)
+        return series[idx] if idx < len(series) else math.nan
+
+    steps = at("steps_total")
     if math.isnan(steps):
-        steps = _as_float(best_row, "steps")
+        steps = at("steps")
 
-    def to_int(value: float) -> int:
-        return 0 if math.isnan(value) else int(value)
+    def as_int(value: float) -> int:
+        return int(value) if math.isfinite(value) else 0
 
     return RunSummary(
         label=csv_path.parent.name,
-        scale=scale,
-        best_epoch=to_int(_as_float(best_row, "epoch")),
-        best_val_loss=_as_float(best_row, "val_loss"),
-        best_val_psnr=_as_float(best_row, "val_psnr"),
-        steps_per_epoch=to_int(steps),
-        epoch_time_s=_as_float(best_row, "duration_s"),
-        ms_per_step=_as_float(best_row, "ms_per_step"),
+        scale=parse_scale(csv_path.parent.name),
+        best_epoch=as_int(at("epoch")),
+        best_val_loss=at("val_loss"),
+        best_val_psnr=at("val_psnr"),
+        steps_per_epoch=as_int(steps),
+        epoch_time_s=at("duration_s"),
+        ms_per_step=at("ms_per_step"),
     )
 
 
+# Back-compat alias for older callers/tests.
+read_run_summary = summarize_run
+
+
 def load_summaries(csv_root: Path) -> List[RunSummary]:
-    summaries = [
-        read_run_summary(p) for p in sorted(csv_root.glob("*/epoch_metrics.csv"))
-    ]
-    if not summaries:
-        raise SystemExit(f"No CSV files found under {csv_root}")
-    summaries.sort(key=lambda s: s.scale)
-    return summaries
+    paths = sorted(Path(csv_root).glob("*/epoch_metrics.csv"))
+    if not paths:
+        raise SystemExit(f"No epoch_metrics.csv found under {csv_root}")
+    return sorted((summarize_run(p) for p in paths), key=lambda s: s.scale)
 
 
 def plot_trend(summaries: Sequence[RunSummary], output_dir: Path, dpi: int) -> None:
@@ -147,17 +178,11 @@ def plot_training_load(summaries: Sequence[RunSummary], output_dir: Path, dpi: i
 
 
 def write_summary_csv(summaries: Sequence[RunSummary], output_dir: Path) -> None:
-    with (output_dir / "run_summaries.csv").open("w", newline="") as handle:
-        writer = csv.writer(handle)
-        writer.writerow(
-            ["label", "scale", "best_epoch", "best_val_loss", "best_val_psnr",
-             "steps_per_epoch", "epoch_time_s", "ms_per_step"]
-        )
-        for s in summaries:
-            writer.writerow(
-                [s.label, s.scale, s.best_epoch, s.best_val_loss, s.best_val_psnr,
-                 s.steps_per_epoch, s.epoch_time_s, s.ms_per_step]
-            )
+    fields = ["label", "scale", "best_epoch", "best_val_loss", "best_val_psnr",
+              "steps_per_epoch", "epoch_time_s", "ms_per_step"]
+    lines = [",".join(fields)]
+    lines += [",".join(str(getattr(s, f)) for f in fields) for s in summaries]
+    (Path(output_dir) / "run_summaries.csv").write_text("\n".join(lines) + "\n")
 
 
 def main() -> None:

@@ -28,7 +28,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--eval-shave", type=int, default=None)
     parser.add_argument("--depth-override", type=int, default=None)
-    parser.add_argument("--best", action="store_true", help="Load the best checkpoint instead of latest.")
+    parser.add_argument("--latest", action="store_true",
+                        help="Load the most recent checkpoint instead of the best-val one. "
+                             "The default (best) matches the reference protocol, which "
+                             "evaluates the ModelCheckpoint output (evaluate_model.py:57-91).")
+    parser.add_argument("--best", action="store_true", help=argparse.SUPPRESS)  # legacy no-op
     parser.add_argument("--output-dir", type=Path, default=Path("runs/evaluation"))
     parser.add_argument("--run-name", type=str, default=None)
     parser.add_argument("--skip-per-image", action="store_true")
@@ -100,7 +104,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
 
     state, _model, info = load_checkpoint_state(
-        args.model_path, args.scale, args.patch_size, args.depth_override, args.best
+        args.model_path, args.scale, args.patch_size, args.depth_override,
+        best=not args.latest,
     )
 
     eval_shave = infer_eval_shave(args.scale, args.eval_shave)

@@ -1,33 +1,44 @@
 """Convert training stdout transcripts into per-epoch CSV files.
 
-Rebuild of /root/reference/Super_resolution/code/export_log_metrics.py with
-the same output schema (epoch, steps_completed, steps_total, duration_s,
-ms_per_step, loss, psnr, val_loss, val_psnr). Parses both this framework's
-single-line epoch summaries::
+Capability parity with the reference's log->CSV exporter
+(/root/reference/Super_resolution/code/export_log_metrics.py) and the same
+output schema (epoch, steps_completed, steps_total, duration_s, ms_per_step,
+loss, psnr, val_loss, val_psnr), but an independent implementation: instead of
+splitting each line on ``" - "`` and walking the fragments positionally, every
+line is scanned with a single pass of token regexes, so both log dialects fall
+out of one grammar:
 
-    Epoch 3/100 - 12.4s - 96ms/step - 41.3 img/s - loss: 0.0312 - psnr: 29.1 - val_loss: ...
+* this framework's single-line epoch summaries::
 
-and the reference's two-line Keras verbose-2 format (``Epoch N/M`` header
-followed by ``540/540 - 540s - 500ms/step - loss: ...``).
+      Epoch 3/100 - 12.4s - 96ms/step - 41.3 img/s - loss: 0.0312 - ...
+
+* Keras verbose-2 transcripts (``Epoch N/M`` header line, then
+  ``540/540 - 540s - 500ms/step - loss: ...``).
 """
 
 from __future__ import annotations
 
 import argparse
-import csv
 import re
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
-__all__ = ["parse_metrics_line", "extract_epoch_rows", "process_logs", "write_csv"]
+__all__ = ["scan_line", "extract_epoch_rows", "process_logs", "write_csv"]
 
-EPOCH_RE = re.compile(r"^Epoch\s+(\d+)(?:/(\d+))?")
-PROGRESS_RE = re.compile(r"^(?P<done>\d+)\s*/\s*(?P<total>\d+)$")
-DURATION_RE = re.compile(r"^([0-9.]+)s$")
-MS_PER_STEP_RE = re.compile(r"^([0-9.]+)\s*ms/step$")
-IMG_PER_SEC_RE = re.compile(r"^([0-9.]+)\s*img/s$")
+# One token grammar for everything that can appear on a summary line.
+_TOKENS = re.compile(
+    r"""
+    (?P<epoch_hdr>\bEpoch\s+(?P<ep>\d+)(?:/(?P<ep_total>\d+))?)
+  | (?P<progress>\b(?P<done>\d+)/(?P<total>\d+)\s+-)
+  | (?P<msstep>\b(?P<ms>\d+(?:\.\d+)?)\s*ms/step\b)
+  | (?P<imgsec>\b(?P<ips>\d+(?:\.\d+)?)\s*img/s\b)
+  | (?P<seconds>\b(?P<secs>\d+(?:\.\d+)?)s\b)
+  | (?P<metric>\b(?P<key>[A-Za-z][A-Za-z0-9_]*):\s*(?P<val>[-+]?(?:\d+(?:\.\d+)?(?:[eE][-+]?\d+)?|inf|nan)))
+    """,
+    re.VERBOSE,
+)
 
-FIELDNAMES = [
+SCHEMA = (
     "epoch",
     "steps_completed",
     "steps_total",
@@ -37,112 +48,105 @@ FIELDNAMES = [
     "psnr",
     "val_loss",
     "val_psnr",
-]
+)
 
 
-def parse_metrics_line(line: str) -> Optional[Dict[str, float]]:
-    """Parse one epoch summary line (either format) into a metrics dict."""
-    if " - loss:" not in line or "ms/step" not in line:
-        return None
-    parts = [part.strip() for part in line.strip().split(" - ") if part.strip()]
-    if len(parts) < 4:
-        return None
+def scan_line(line: str) -> Dict[str, float]:
+    """Tokenize one log line into whatever fields it carries.
 
-    metrics: Dict[str, float] = {}
-    head = parts[0]
-    epoch_match = EPOCH_RE.match(head)
-    progress_match = PROGRESS_RE.match(head)
-    if epoch_match:  # this framework's single-line format
-        metrics["epoch"] = float(epoch_match.group(1))
-        parts.pop(0)
-    elif progress_match:  # reference two-line format: progress counter first
-        metrics["steps_completed"] = float(progress_match.group("done"))
-        metrics["steps_total"] = float(progress_match.group("total"))
-        parts.pop(0)
-    else:
-        return None
+    Returns a (possibly empty) dict; an epoch-summary line is recognised by
+    the caller via the presence of both ``loss`` and ``ms_per_step``.
+    """
+    fields: Dict[str, float] = {}
+    for tok in _TOKENS.finditer(line):
+        if tok.group("epoch_hdr"):
+            fields["epoch"] = float(tok.group("ep"))
+        elif tok.group("progress"):
+            fields["steps_completed"] = float(tok.group("done"))
+            fields["steps_total"] = float(tok.group("total"))
+        elif tok.group("msstep"):
+            fields["ms_per_step"] = float(tok.group("ms"))
+        elif tok.group("imgsec"):
+            fields["img_per_sec"] = float(tok.group("ips"))
+        elif tok.group("seconds"):
+            # first bare "<float>s" token is the epoch duration
+            fields.setdefault("duration_s", float(tok.group("secs")))
+        elif tok.group("metric"):
+            fields[tok.group("key").lower()] = float(tok.group("val"))
+    return fields
 
-    for part in list(parts):
-        m = DURATION_RE.match(part)
-        if m:
-            metrics["duration_s"] = float(m.group(1))
-            parts.remove(part)
+
+def _iter_epoch_records(lines: Iterable[str]) -> Iterator[Dict[str, float]]:
+    """Yield one record per completed epoch, merging header + summary lines."""
+    pending_epoch: Optional[float] = None
+    for line in lines:
+        fields = scan_line(line)
+        if not fields:
             continue
-        m = MS_PER_STEP_RE.match(part)
-        if m:
-            metrics["ms_per_step"] = float(m.group(1))
-            parts.remove(part)
+        is_summary = "loss" in fields and "ms_per_step" in fields
+        if not is_summary:
+            # Bare "Epoch N/M" header (Keras verbose-2): remember it.
+            if "epoch" in fields and len(fields) == 1:
+                pending_epoch = fields["epoch"]
             continue
-        m = IMG_PER_SEC_RE.match(part)
-        if m:
-            metrics["img_per_sec"] = float(m.group(1))
-            parts.remove(part)
-
-    for item in parts:
-        if ":" not in item:
-            continue
-        key, value = (seg.strip() for seg in item.split(":", 1))
-        try:
-            metrics[key.lower()] = float(value)
-        except ValueError:
-            continue
-    return metrics
+        if "epoch" not in fields:
+            if pending_epoch is None:
+                continue
+            fields["epoch"] = pending_epoch
+        pending_epoch = None
+        yield fields
 
 
 def extract_epoch_rows(log_path: Path) -> List[Dict[str, float]]:
-    rows: List[Dict[str, float]] = []
-    current_epoch: Optional[int] = None
-    with log_path.open("r", encoding="utf-8") as handle:
-        for raw_line in handle:
-            line = raw_line.strip()
-            if not line:
-                continue
-            epoch_match = EPOCH_RE.match(line)
-            if epoch_match and " - " not in line:
-                current_epoch = int(epoch_match.group(1))
-                continue
-            metrics = parse_metrics_line(line)
-            if metrics is None:
-                continue
-            if "epoch" not in metrics:
-                if current_epoch is None:
-                    continue
-                metrics["epoch"] = float(current_epoch)
-            rows.append(metrics)
-    return rows
+    """Collect per-epoch metric records from a single transcript file."""
+    with Path(log_path).open("r", encoding="utf-8") as fh:
+        return list(_iter_epoch_records(fh))
 
 
 def write_csv(rows: Iterable[Dict[str, float]], output_path: Path) -> None:
+    """Serialise records under the reference CSV schema (blank = absent)."""
     rows = list(rows)
     if not rows:
         return
     output_path.parent.mkdir(parents=True, exist_ok=True)
-    with output_path.open("w", newline="", encoding="utf-8") as handle:
-        writer = csv.DictWriter(handle, fieldnames=FIELDNAMES)
-        writer.writeheader()
-        for row in rows:
-            writer.writerow({key: row.get(key) for key in FIELDNAMES})
+
+    def render(value: Optional[float]) -> str:
+        if value is None:
+            return ""
+        return repr(value) if isinstance(value, float) else str(value)
+
+    lines = [",".join(SCHEMA)]
+    lines.extend(",".join(render(row.get(col)) for col in SCHEMA) for row in rows)
+    output_path.write_text("\n".join(lines) + "\n", encoding="utf-8")
 
 
 def process_logs(
     logs_root: Path, output_root: Path, pattern: str = "*.log"
 ) -> List[Tuple[str, Path]]:
-    emitted: List[Tuple[str, Path]] = []
-    for run_dir in sorted(p for p in logs_root.iterdir() if p.is_dir()):
-        log_files = sorted(run_dir.glob(pattern))
-        if not log_files:
+    """Export one ``epoch_metrics.csv`` per run directory under *logs_root*.
+
+    When a run directory holds several matching transcripts the newest (by
+    name sort) wins — resumed runs append a fresh log per attempt.
+    """
+    results: List[Tuple[str, Path]] = []
+    run_dirs = sorted(child for child in Path(logs_root).iterdir() if child.is_dir())
+    for run_dir in run_dirs:
+        candidates = sorted(run_dir.glob(pattern))
+        if not candidates:
             continue
-        rows = extract_epoch_rows(log_files[-1])
+        rows = extract_epoch_rows(candidates[-1])
         if not rows:
             continue
-        csv_path = output_root / run_dir.name / "epoch_metrics.csv"
-        write_csv(rows, csv_path)
-        emitted.append((run_dir.name, csv_path))
-    return emitted
+        target = Path(output_root) / run_dir.name / "epoch_metrics.csv"
+        write_csv(rows, target)
+        results.append((run_dir.name, target))
+    return results
 
 
 def main() -> None:
-    parser = argparse.ArgumentParser(description="Convert training logs into CSV tables.")
+    parser = argparse.ArgumentParser(
+        description="Export per-epoch metric CSVs from training transcripts."
+    )
     parser.add_argument("--logs-root", type=Path, required=True)
     parser.add_argument("--output-root", type=Path, required=True)
     parser.add_argument("--pattern", type=str, default="*.log")
@@ -151,13 +155,13 @@ def main() -> None:
     logs_root = args.logs_root.expanduser().resolve()
     if not logs_root.is_dir():
         raise SystemExit(f"Logs root not found: {logs_root}")
-    emitted = process_logs(logs_root, args.output_root.expanduser().resolve(), args.pattern)
-    if not emitted:
-        print("No logs were converted.")
+    results = process_logs(logs_root, args.output_root.expanduser().resolve(), args.pattern)
+    if not results:
+        print("No epoch metrics found in any transcript.")
         return
-    print("Generated CSV files:")
-    for run_name, csv_path in emitted:
-        print(f"  {run_name} -> {csv_path}")
+    print(f"Wrote {len(results)} epoch-metric table(s):")
+    for run_name, csv_path in results:
+        print(f"  {run_name}: {csv_path}")
 
 
 if __name__ == "__main__":

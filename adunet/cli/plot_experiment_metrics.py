@@ -1,10 +1,12 @@
 """Aggregate evaluation reports into summary CSV + figures.
 
-Rebuild of /root/reference/Super_resolution/code/plot_experiment_metrics.py:
-walks ``evaluation/*/metrics.json`` + ``per_image_metrics.csv``, writes
-``summary_metrics.csv`` in the exact reference schema (the BASELINE.md
-tables come from this file), and renders PSNR/SSIM-vs-scale errorbars and
-per-scale boxplots.
+Capability parity with the reference's evaluation plotter
+(/root/reference/Super_resolution/code/plot_experiment_metrics.py): walks
+``evaluation/*/metrics.json`` + ``per_image_metrics.csv``, writes
+``summary_metrics.csv`` in the exact reference schema (the BASELINE.md tables
+come from this file), and renders PSNR/SSIM-vs-scale errorbars and per-scale
+boxplots. Independent implementation — report directories are discovered by
+globbing for ``metrics.json`` and the scale token is parsed with a regex.
 """
 
 from __future__ import annotations
@@ -12,10 +14,13 @@ from __future__ import annotations
 import argparse
 import csv
 import json
+import re
 from pathlib import Path
 from typing import Dict, List, Tuple
 
 __all__ = ["extract_scale_from_dir", "load_summary_metrics", "write_summary_csv"]
+
+_SCALE_IN_NAME = re.compile(r"scale(\d+(?:\.\d*)?|\.\d+)")
 
 SUMMARY_FIELDS = [
     "scale",
@@ -32,35 +37,30 @@ SUMMARY_FIELDS = [
 
 
 def extract_scale_from_dir(name: str) -> float:
-    if "scale" not in name:
-        raise ValueError(f"Could not find 'scale' inside folder name: {name}")
-    suffix = name.split("scale", maxsplit=1)[-1]
-    digits = []
-    for ch in suffix:
-        if ch.isdigit() or ch == ".":
-            digits.append(ch)
-        else:
-            break
-    if not digits:
-        raise ValueError(f"Scale digits missing in folder name: {name}")
-    return float("".join(digits).rstrip("."))
+    """Parse the scale factor embedded in a report folder name.
+
+    ``exp1_depth3_scale0.50_eval`` -> 0.5. Raises ValueError when the name
+    carries no parseable ``scaleN.NN`` token.
+    """
+    hit = _SCALE_IN_NAME.search(name)
+    if hit is None:
+        raise ValueError(f"No scale token in report folder name: {name!r}")
+    return float(hit.group(1))
 
 
 def load_summary_metrics(eval_dir: Path) -> List[Dict[str, float]]:
+    """Collect every report's metrics.json, keyed by its folder's scale."""
+    eval_dir = Path(eval_dir)
+    if not eval_dir.is_dir():
+        raise FileNotFoundError(f"Evaluation directory does not exist: {eval_dir}")
     rows: List[Dict[str, float]] = []
-    if not eval_dir.exists():
-        raise FileNotFoundError(f"Missing evaluation directory: {eval_dir}")
-    for folder in sorted(eval_dir.iterdir()):
-        metrics_path = folder / "metrics.json"
-        if not metrics_path.exists():
-            continue
-        metrics = json.loads(metrics_path.read_text())
-        metrics["scale"] = extract_scale_from_dir(folder.name)
-        rows.append(metrics)
+    for metrics_path in sorted(eval_dir.glob("*/metrics.json")):
+        record = dict(json.loads(metrics_path.read_text()))
+        record["scale"] = extract_scale_from_dir(metrics_path.parent.name)
+        rows.append(record)
     if not rows:
-        raise RuntimeError(f"No metrics.json files found under {eval_dir}")
-    rows.sort(key=lambda item: item["scale"])
-    return rows
+        raise RuntimeError(f"Nothing to aggregate: no */metrics.json under {eval_dir}")
+    return sorted(rows, key=lambda record: record["scale"])
 
 
 def load_per_image_metrics(eval_dir: Path, metric_key: str) -> Tuple[List[List[float]], List[str]]:

@@ -52,7 +52,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--high_res_dir", type=str, required=False, default=None)
     parser.add_argument("--image_suffix", type=str, default=".png")
     parser.add_argument("--low_res_dir", type=str, default=None,
-                        help="Ignored in patch mode; LR patches are synthesised on the fly.")
+                        help="Directory of real LR images paired by filename. When set, "
+                             "training uses whole images resized to --patch_size instead of "
+                             "synthetic LR patches (reference build_dataset alt path).")
     parser.add_argument("--resume_from", type=str, default=None,
                         help="Checkpoint directory to resume from (Orbax root).")
     parser.add_argument("--initial_epoch", type=int, default=0)
@@ -108,26 +110,51 @@ def train(cfg) -> dict:
     test_paths = [hr_paths[i] for i in test_idx]
 
     degrade_scale = cfg.train_degrade_scale()
-    train_ds, train_patch_count = make_training_patch_dataset(
-        train_paths,
-        patch_size=cfg.patch_size,
-        patches_per_image=cfg.patches_per_image,
-        scale=degrade_scale,
-        batch_size=cfg.batch_size,
-        seed=cfg.seed,
-        shuffle_buffer=cfg.shuffle_buffer,
-    )
-    steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
+    paired = bool(cfg.low_res_dir)
+    if paired:
+        # Real-LR data path (reference train_adaptive_unet.py:123-197): whole
+        # images AREA-resized to patch_size, paired with same-named LR files.
+        from adunet.data import ArrayDataset, load_rgb_image, pair_lr_files
 
-    val_ds = None
-    if val_paths:
-        val_ds, val_patch_count, _ = make_eval_patch_dataset(
-            val_paths,
+        lr_paths_all = pair_lr_files(hr_paths, cfg.low_res_dir)
+
+        def paired_dataset(idx, shuffle: bool, drop_remainder: bool):
+            if not len(idx):
+                return None
+            hr_stack = np.stack([load_rgb_image(hr_paths[i], cfg.patch_size) for i in idx])
+            lr_stack = np.stack([load_rgb_image(lr_paths_all[i], cfg.patch_size) for i in idx])
+            return ArrayDataset(
+                lr_stack, hr_stack, batch_size=cfg.batch_size,
+                shuffle=shuffle, seed=cfg.seed, drop_remainder=drop_remainder,
+            )
+
+        train_ds = paired_dataset(train_idx, shuffle=True, drop_remainder=True)
+        if train_ds is None:
+            raise ValueError("Paired mode requires at least one training image.")
+        train_patch_count = len(train_idx)
+        steps_per_epoch = train_ds.steps_per_epoch
+        val_ds = paired_dataset(val_idx, shuffle=False, drop_remainder=False)
+    else:
+        train_ds, train_patch_count = make_training_patch_dataset(
+            train_paths,
             patch_size=cfg.patch_size,
+            patches_per_image=cfg.patches_per_image,
             scale=degrade_scale,
             batch_size=cfg.batch_size,
-            stride=cfg.eval_stride,
+            seed=cfg.seed,
+            shuffle_buffer=cfg.shuffle_buffer,
         )
+        steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
+
+        val_ds = None
+        if val_paths:
+            val_ds, val_patch_count, _ = make_eval_patch_dataset(
+                val_paths,
+                patch_size=cfg.patch_size,
+                scale=degrade_scale,
+                batch_size=cfg.batch_size,
+                stride=cfg.eval_stride,
+            )
 
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
     model, info = build_super_resolution_unet(
@@ -181,7 +208,7 @@ def train(cfg) -> dict:
         "test_images": len(test_paths),
         "train_patches_per_epoch": int(train_patch_count),
         "steps_per_epoch": int(steps_per_epoch),
-        "low_res_mode": "synthetic_patches",
+        "low_res_mode": "paired_directory" if paired else "synthetic_patches",
         "created_at": timestamp,
     }
     (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
@@ -232,9 +259,13 @@ def train(cfg) -> dict:
     train_step = make_sr_train_step(model, loss_fn, data_scale=degrade_scale)
     val_step = make_sr_val_step(model, loss_fn, data_scale=degrade_scale)
 
+    def forever(ds):
+        while True:
+            yield from ds
+
     result = fit(
         state,
-        train_ds,
+        forever(train_ds) if paired else train_ds,
         train_step,
         steps_per_epoch=steps_per_epoch,
         epochs=cfg.epochs,
@@ -267,16 +298,19 @@ def train(cfg) -> dict:
     from adunet.evaluate import evaluate_sr
 
     final_metrics = {}
-    for name, paths in (("Validation", val_paths), ("Test", test_paths)):
+    for name, paths, idx in (("Validation", val_paths, val_idx), ("Test", test_paths, test_idx)):
         if not paths:
             continue
-        ds, _, _labels = make_eval_patch_dataset(
-            paths,
-            patch_size=cfg.patch_size,
-            scale=degrade_scale,
-            batch_size=cfg.batch_size,
-            stride=cfg.eval_stride,
-        )
+        if paired:
+            ds = paired_dataset(idx, shuffle=False, drop_remainder=False)
+        else:
+            ds, _, _labels = make_eval_patch_dataset(
+                paths,
+                patch_size=cfg.patch_size,
+                scale=degrade_scale,
+                batch_size=cfg.batch_size,
+                stride=cfg.eval_stride,
+            )
         summary, _rows = evaluate_sr(state, ds, eval_scale=degrade_scale, eval_shave=eval_shave)
         print(f"{name} patches evaluated: {summary.samples}")
         print(f"  MSE(Y)     : {summary.mse_mean:.6f} +/- {summary.mse_std:.6f}")
@@ -304,8 +338,6 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     setup_runtime()
     args = parse_args(argv)
-    if args.low_res_dir:
-        print("[info] --low_res_dir is ignored in patch mode; LR patches are generated on the fly.")
     cfg = config_from_args(args)
     train(cfg)
 

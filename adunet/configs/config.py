@@ -52,6 +52,10 @@ class SRTrainConfig:
     log_dir: str = "runs/logs"
     run_name: Optional[str] = None
     high_res_dir: Optional[str] = None
+    # When set, train on real LR pixels paired by filename (the reference's
+    # --low_res_dir alt path, train_adaptive_unet.py:123-197) instead of
+    # synthesising LR patches on device.
+    low_res_dir: Optional[str] = None
     image_suffix: str = ".png"
     resume_from: Optional[str] = None
     initial_epoch: int = 0

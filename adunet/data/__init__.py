@@ -1,14 +1,21 @@
 """Data layer: discovery/pairing, host IO, patch pipelines, on-device augment."""
 
-from adunet.data.io import load_rgb_image, load_rgb_image_full, load_image_stack, load_mask
+from adunet.data.io import (
+    load_rgb_image,
+    load_rgb_image_full,
+    load_image_stack,
+    load_mask,
+    read_image_size,
+)
 from adunet.data.discovery import (
     find_images,
+    pair_lr_files,
     collect_isic_pairs,
     normalise_isic_key,
     canonical_key,
     discover_pairs,
 )
-from adunet.data.patches import random_patch, random_patches, grid_patches
+from adunet.data.patches import random_patch, random_patches, grid_patches, grid_patch_count
 from adunet.data.sr_pipeline import (
     TrainingPatchDataset,
     GridPatchDataset,
@@ -24,7 +31,9 @@ __all__ = [
     "load_rgb_image_full",
     "load_image_stack",
     "load_mask",
+    "read_image_size",
     "find_images",
+    "pair_lr_files",
     "collect_isic_pairs",
     "normalise_isic_key",
     "canonical_key",
@@ -32,6 +41,7 @@ __all__ = [
     "random_patch",
     "random_patches",
     "grid_patches",
+    "grid_patch_count",
     "TrainingPatchDataset",
     "GridPatchDataset",
     "make_training_patch_dataset",

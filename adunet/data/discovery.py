@@ -17,11 +17,39 @@ from adunet.utils import sorted_alphanumeric
 
 __all__ = [
     "find_images",
+    "pair_lr_files",
     "collect_isic_pairs",
     "normalise_isic_key",
     "canonical_key",
     "discover_pairs",
 ]
+
+
+def pair_lr_files(hr_paths: List[str], low_res_dir: str | Path) -> List[str]:
+    """Resolve each HR file's LR counterpart by identical filename.
+
+    Supports the reference's real-LR-directory data path
+    (train_adaptive_unet.py:123-197, the tf.cond branch that reads LR pixels
+    from disk instead of synthesising them). Hard-errors listing the missing
+    files, mirroring the ISIC pairing contract.
+    """
+    low_res_dir = Path(low_res_dir).expanduser()
+    if not low_res_dir.is_dir():
+        raise FileNotFoundError(f"Low-res directory not found: {low_res_dir}")
+    lr_paths: List[str] = []
+    missing: List[str] = []
+    for hr in hr_paths:
+        candidate = low_res_dir / Path(hr).name
+        if candidate.is_file():
+            lr_paths.append(str(candidate))
+        else:
+            missing.append(Path(hr).name)
+    if missing:
+        shown = ", ".join(missing[:5]) + ("…" if len(missing) > 5 else "")
+        raise ValueError(
+            f"Missing {len(missing)} LR counterparts in {low_res_dir}; examples: {shown}"
+        )
+    return lr_paths
 
 
 def find_images(directory: str | Path, suffix: str = ".png", limit: Optional[int] = None) -> List[str]:

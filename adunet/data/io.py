@@ -31,7 +31,33 @@ except Exception:  # pragma: no cover
     Image = None
     _HAS_PIL = False
 
-__all__ = ["load_rgb_image", "load_rgb_image_full", "load_image_stack", "load_mask"]
+__all__ = [
+    "load_rgb_image",
+    "load_rgb_image_full",
+    "load_image_stack",
+    "load_mask",
+    "read_image_size",
+]
+
+
+def read_image_size(path: str | Path) -> tuple:
+    """(height, width) of an image WITHOUT decoding its pixels.
+
+    PIL parses only the header; ``.npy`` reads the array descriptor via mmap.
+    Falls back to a full decode when no lazy reader applies. Lets grid-tiling
+    datasets count patches per file without decoding every image twice (the
+    reference's eval pipeline decodes twice, shared/pipeline.py:279-287 —
+    deliberately fixed here).
+    """
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(str(path), mmap_mode="r")
+        return (arr.shape[0], arr.shape[1])
+    if _HAS_PIL:
+        with Image.open(path) as im:
+            width, height = im.size  # header-only; pixels stay undecoded
+        return (height, width)
+    return _read_rgb(path).shape[:2]
 
 
 def _read_rgb(path: Path) -> np.ndarray:

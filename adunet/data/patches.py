@@ -6,7 +6,33 @@ from typing import List, Optional
 
 import numpy as np
 
-__all__ = ["random_patch", "random_patches", "grid_patches"]
+__all__ = ["random_patch", "random_patches", "grid_patches", "grid_patch_count"]
+
+
+def grid_patch_count(
+    height: int,
+    width: int,
+    patch_size: int,
+    *,
+    stride: Optional[int] = None,
+    drop_remainder: bool = False,
+) -> int:
+    """Number of tiles ``grid_patches`` yields for an (height, width) image.
+
+    Closed form of the tiling loop below, so callers can label/count patches
+    from image headers alone without decoding pixels.
+    """
+    stride = stride or patch_size
+    if patch_size <= 0 or stride <= 0:
+        raise ValueError("patch_size and stride must be positive.")
+    if height < patch_size or width < patch_size:
+        raise ValueError("patch_size exceeds image dimensions.")
+    rows = (height - patch_size) // stride + 1
+    cols = (width - patch_size) // stride + 1
+    count = rows * cols
+    if count == 0 and not drop_remainder:
+        return 1  # bottom-right fallback patch
+    return count
 
 
 def random_patch(

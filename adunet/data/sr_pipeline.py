@@ -27,8 +27,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from adunet.data.io import load_rgb_image_full
-from adunet.data.patches import grid_patches, random_patches
+from adunet.data.io import load_rgb_image_full, read_image_size
+from adunet.data.patches import grid_patch_count, grid_patches, random_patches
 
 __all__ = [
     "TrainingPatchDataset",
@@ -162,12 +162,14 @@ class GridPatchDataset:
         self.batch_size = batch_size
         self.stride = stride
 
-        # label pass: counts patches per file without keeping pixels resident
+        # label pass: closed-form patch count from image headers — no pixel
+        # decode here (fixes the reference's decode-everything-twice quirk,
+        # shared/pipeline.py:279-287)
         self.patch_labels: List[str] = []
         self._per_file_counts: List[int] = []
         for path in hr_files:
-            image = load_rgb_image_full(path)
-            n = grid_patches(image, patch_size, stride=stride, drop_remainder=False).shape[0]
+            h, w = read_image_size(path)
+            n = grid_patch_count(h, w, patch_size, stride=stride, drop_remainder=False)
             self._per_file_counts.append(n)
             stem = Path(path).name
             self.patch_labels.extend(f"{stem}#patch{i:04d}" for i in range(n))

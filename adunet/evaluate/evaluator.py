@@ -60,11 +60,11 @@ def infer_eval_shave(scale: float, explicit: Optional[int] = None) -> int:
 
 def evaluate_sr(
     state,
-    dataset: GridPatchDataset,
+    dataset,
     eval_scale: float,
     eval_shave: int,
 ) -> Tuple[EvalResults, List[Dict[str, float]]]:
-    """Evaluate a trained state over a grid-tiled dataset."""
+    """Evaluate a trained state over a grid-tiled (or paired (lr, hr)) dataset."""
     step = make_sr_eval_step(None, eval_scale=eval_scale, eval_shave=eval_shave)
 
     batch_size = dataset.batch_size
@@ -76,16 +76,22 @@ def evaluate_sr(
         "mse_y": [],
     }
 
+    import jax as _jax
+
+    def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
+        if arr.shape[0] >= n:
+            return arr
+        fill = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
+        return np.concatenate([arr, fill], axis=0)
+
     offset = 0
-    for hr_batch in dataset:
-        n = hr_batch.shape[0]
-        if n < batch_size:
-            # pad ragged final batch to the compiled shape; drop rows on host
-            pad = np.repeat(hr_batch[-1:], batch_size - n, axis=0)
-            padded = np.concatenate([hr_batch, pad], axis=0)
-        else:
-            padded = hr_batch
-        out = step(state, jnp.asarray(padded))
+    for batch in dataset:
+        n = _jax.tree_util.tree_leaves(batch)[0].shape[0]
+        # pad ragged final batch to the compiled shape; drop rows on host
+        padded = _jax.tree_util.tree_map(
+            lambda a: jnp.asarray(_pad_to(np.asarray(a), batch_size)), batch
+        )
+        out = step(state, padded)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
         for k in all_metrics:
             all_metrics[k].append(out[k])

@@ -39,10 +39,6 @@ def degrade(hr: jax.Array, scale: float, output_size: int | None = None) -> jax.
     down_w = max(1, int(round(target_w * scale)))
 
     x = jnp.clip(hr.astype(jnp.float32), 0.0, 1.0)
-    if (h, w) != (target_h, target_w):
-        # The reference assumes square patches already at target size; support
-        # the general case by going straight to the downsampled size.
-        pass
     down = resize(x, (down_h, down_w), method="area")
     up = resize(down, (target_h, target_w), method="bicubic_cv2", antialias=False)
     return up

@@ -22,6 +22,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = [
     "make_mesh",
+    "make_dp_spatial_mesh",
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",

@@ -32,6 +32,21 @@ __all__ = ["sr_loss_and_metrics", "make_sr_train_step", "make_sr_eval_step", "DA
 DATA_LR_SHRINK = 0.5
 
 
+def _lr_hr_of(batch, data_scale: float) -> Tuple[jax.Array, jax.Array]:
+    """Resolve a batch into (lr, hr).
+
+    A bare array is an HR batch whose LR counterpart is synthesised on device
+    (the reference's main path); an ``(lr, hr)`` tuple carries real LR pixels
+    from a paired directory (the reference's --low_res_dir alt path,
+    train_adaptive_unet.py:123-197). The branch resolves at trace time — the
+    two layouts are distinct XLA programs.
+    """
+    if isinstance(batch, (tuple, list)):
+        lr_batch, hr_batch = batch
+        return lr_batch, hr_batch
+    return degrade(batch, data_scale, batch.shape[-2]), batch
+
+
 def sr_loss_and_metrics(loss_fn, hr, pred) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     loss = loss_fn(hr, pred)
     clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
@@ -50,9 +65,9 @@ def make_sr_train_step(
     synthesised on device with the cv2-exact degradation.
     """
 
-    def step(state: TrainState, hr_batch: jax.Array, rng: jax.Array | None = None):
+    def step(state: TrainState, batch, rng: jax.Array | None = None):
         del rng  # SR training is deterministic given the host patch stream
-        lr_batch = degrade(hr_batch, data_scale, hr_batch.shape[-2])
+        lr_batch, hr_batch = _lr_hr_of(batch, data_scale)
 
         def compute_loss(params):
             pred = state.apply_fn({"params": params}, lr_batch)
@@ -75,11 +90,11 @@ def make_sr_eval_step(model, eval_scale: float, eval_shave: int):
     """
 
     @partial(jax.jit)
-    def step(state: TrainState, hr_batch: jax.Array):
+    def step(state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        lr_batch = degrade(hr_batch, eval_scale, hr_batch.shape[-2])
+        lr_batch, hr_batch = _lr_hr_of(batch, eval_scale)
         pred = state.apply_fn(variables, lr_batch)
         pred = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
         hr = hr_batch.astype(jnp.float32)
@@ -109,11 +124,11 @@ def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK):
     """Validation loss/psnr on grid patches, matching fit()'s val metrics."""
 
     @partial(jax.jit)
-    def step(state: TrainState, hr_batch: jax.Array):
+    def step(state: TrainState, batch):
         variables = {"params": state.params}
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
-        lr_batch = degrade(hr_batch, data_scale, hr_batch.shape[-2])
+        lr_batch, hr_batch = _lr_hr_of(batch, data_scale)
         pred = state.apply_fn(variables, lr_batch)
         loss, metrics = sr_loss_and_metrics(loss_fn, hr_batch, pred)
         return {"loss": loss, **metrics}

@@ -235,3 +235,37 @@ def test_train_sr_resume(tiny_dataset, tmp_path):
     # resumed at epoch 3 and 4 -> exactly 2 data rows, first labelled epoch 3
     assert len(rows) == 3
     assert rows[1].split(",")[0] == "3"
+
+
+def test_train_sr_paired_lr_dir(tmp_path):
+    """--low_res_dir trains on real LR pixels paired by filename (reference
+    build_dataset alt path, train_adaptive_unet.py:123-197)."""
+    from adunet.cli.train_sr import main as train_main
+
+    rng = np.random.default_rng(3)
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    for i in range(16):
+        hr = rng.random((32, 32, 3), dtype=np.float32)
+        blur = hr.reshape(16, 2, 16, 2, 3).mean(axis=(1, 3))
+        lr = np.clip(np.repeat(np.repeat(blur, 2, 0), 2, 1), 0, 1)
+        np.save(hr_dir / f"im{i}.npy", hr)
+        np.save(lr_dir / f"im{i}.npy", lr.astype(np.float32))
+
+    log_dir = tmp_path / "logs"
+    train_main([
+        "--scale", "0.5", "--depth_override", "1",
+        "--base_channels", "8", "--residual_head_channels", "8",
+        "--patch_size", "32", "--batch_size", "8",
+        "--epochs", "2", "--patience", "5",
+        "--high_res_dir", str(hr_dir), "--low_res_dir", str(lr_dir),
+        "--image_suffix", ".npy",
+        "--model_dir", str(tmp_path / "models"), "--log_dir", str(log_dir),
+        "--run_name", "paired", "--seed", "11",
+    ])
+    cfg = json.loads((log_dir / "paired" / "config.json").read_text())
+    assert cfg["low_res_mode"] == "paired_directory"
+    rows = (log_dir / "paired" / "epoch_metrics.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs

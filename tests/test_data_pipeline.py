@@ -67,6 +67,47 @@ def test_grid_patches_fallback_patch():
     assert tiles.shape[0] == 1  # stride skips -> bottom-right fallback
 
 
+def test_grid_patch_count_matches_tiling():
+    from adunet.data import grid_patch_count
+
+    rng = np.random.default_rng(1)
+    for h, w, p, s in [(80, 96, 32, 32), (64, 64, 32, 16), (33, 47, 32, 32),
+                       (256, 256, 64, 48), (100, 40, 40, 7)]:
+        img = rng.random((h, w, 3)).astype(np.float32)
+        assert grid_patch_count(h, w, p, stride=s) == grid_patches(img, p, stride=s).shape[0], (
+            h, w, p, s)
+
+
+def test_read_image_size_header_only(png_dataset, tmp_path):
+    from adunet.data import read_image_size
+
+    files = find_images(png_dataset, ".png")
+    assert read_image_size(files[0]) == (80, 96)
+    np.save(tmp_path / "a.npy", np.zeros((17, 23, 3), np.float32))
+    assert read_image_size(tmp_path / "a.npy") == (17, 23)
+
+
+def test_pair_lr_files(tmp_path):
+    from adunet.data import pair_lr_files
+
+    hr_dir = tmp_path / "hr"
+    lr_dir = tmp_path / "lr"
+    hr_dir.mkdir()
+    lr_dir.mkdir()
+    hr = []
+    for i in range(3):
+        p = hr_dir / f"im{i}.npy"
+        np.save(p, np.zeros((8, 8, 3), np.float32))
+        hr.append(str(p))
+        np.save(lr_dir / f"im{i}.npy", np.zeros((8, 8, 3), np.float32))
+    lr = pair_lr_files(hr, lr_dir)
+    assert [p.split("/")[-1] for p in lr] == ["im0.npy", "im1.npy", "im2.npy"]
+
+    (lr_dir / "im1.npy").unlink()
+    with pytest.raises(ValueError, match="Missing 1 LR"):
+        pair_lr_files(hr, lr_dir)
+
+
 def test_isic_pair_discovery_errors(tmp_path):
     (tmp_path / "img").mkdir()
     (tmp_path / "mask").mkdir()
