@@ -33,7 +33,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--learning_rate", type=float, default=1e-4)
     parser.add_argument("--base_channels", type=int, default=32)
     parser.add_argument("--depth", type=int, default=4)
-    parser.add_argument("--num_classes", type=int, default=1)
+    parser.add_argument("--num_classes", type=int, default=1,
+                        help=">1 switches to the softmax head, class-weighted CE loss and "
+                             "mIoU eval (reference unet_vinillia.py:89-90 multiclass surface).")
+    parser.add_argument("--class_weights", type=str, default=None,
+                        help="Comma-separated per-class CE weights, e.g. '0.5,2.0,1.0'. "
+                             "Defaults to uniform. Only used when --num_classes > 1.")
     parser.add_argument("--model_dir", type=Path, default=Path("runs/models"))
     parser.add_argument("--log_dir", type=Path, default=Path("runs/logs"))
     parser.add_argument("--run_name", type=str, default="unet_isic")
@@ -50,10 +55,18 @@ def train(args: argparse.Namespace) -> dict:
     import jax
     import jax.numpy as jnp
 
+    import functools
+
     from adunet.data import discover_pairs
     from adunet.data.seg_pipeline import SegPairDataset
-    from adunet.losses import binary_crossentropy
-    from adunet.metrics import binary_accuracy, global_dice_coefficient, precision, recall
+    from adunet.losses import binary_crossentropy, make_weighted_ce_loss
+    from adunet.metrics import (
+        binary_accuracy,
+        global_dice_coefficient,
+        mean_iou,
+        precision,
+        recall,
+    )
     from adunet.models import build_unet
     from adunet.parallel import make_mesh, replicate
     from adunet.train import (
@@ -78,10 +91,12 @@ def train(args: argparse.Namespace) -> dict:
     train_ds = SegPairDataset(
         train_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=args.augment, shuffle=True, seed=args.seed,
+        num_classes=args.num_classes,
     )
     val_ds = SegPairDataset(
         val_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=False, shuffle=False, seed=args.seed,
+        num_classes=args.num_classes,
     )
     steps_per_epoch = math.ceil(len(train_pairs) / args.batch_size)
 
@@ -91,12 +106,32 @@ def train(args: argparse.Namespace) -> dict:
         base_channels=args.base_channels, depth=args.depth, dtype=dtype,
     )
 
-    extra = {
-        "accuracy": binary_accuracy,
-        "precision": precision,
-        "recall": recall,
-        "dice_coefficient": global_dice_coefficient,
-    }
+    multiclass = args.num_classes > 1
+    if multiclass:
+        if args.class_weights:
+            weights = [float(tok) for tok in args.class_weights.split(",")]
+            if len(weights) != args.num_classes:
+                raise ValueError(
+                    f"--class_weights has {len(weights)} entries for "
+                    f"{args.num_classes} classes."
+                )
+        else:
+            weights = [1.0] * args.num_classes
+        loss_fn = make_weighted_ce_loss(weights)
+        extra = {
+            "mean_iou": functools.partial(mean_iou, num_classes=args.num_classes),
+            "dice_coefficient": global_dice_coefficient,
+        }
+        monitor = "val_mean_iou"
+    else:
+        loss_fn = binary_crossentropy
+        extra = {
+            "accuracy": binary_accuracy,
+            "precision": precision,
+            "recall": recall,
+            "dice_coefficient": global_dice_coefficient,
+        }
+        monitor = "val_dice_coefficient"
 
     mesh = make_mesh(args.n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
@@ -115,14 +150,14 @@ def train(args: argparse.Namespace) -> dict:
     ckpt_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_best"
     print(f"Checkpoints will be written to {ckpt_dir}")
 
-    ckpt = CheckpointManager(ckpt_dir, monitor="val_dice_coefficient", mode="max")
+    ckpt = CheckpointManager(ckpt_dir, monitor=monitor, mode="max")
 
     train_step = make_seg_train_step(
-        model, binary_crossentropy,
+        model, loss_fn,
         augment="flips" if args.augment else "none",
         extra_metrics=extra,
     )
-    eval_step = make_seg_eval_step(model, binary_crossentropy, extra_metrics=extra)
+    eval_step = make_seg_eval_step(model, loss_fn, extra_metrics=extra)
 
     def infinite(ds):
         while True:
@@ -137,7 +172,7 @@ def train(args: argparse.Namespace) -> dict:
         rng=jax.random.key(args.seed),
         val_data=val_ds,
         val_step=eval_step,
-        monitor="val_dice_coefficient",
+        monitor=monitor,
         monitor_mode="max",
         patience=10,
         restore_best_weights=True,
@@ -150,15 +185,18 @@ def train(args: argparse.Namespace) -> dict:
     state = result.state
 
     final_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_final"
-    final_ckpt = CheckpointManager(final_dir, monitor="val_dice_coefficient", mode="max")
+    final_ckpt = CheckpointManager(final_dir, monitor=monitor, mode="max")
     final_ckpt.save(len(result.history), state)
     final_ckpt.close()
 
     payload = {
         "run_name": args.run_name,
         "n_params": n_params,
+        "num_classes": args.num_classes,
+        "monitor": monitor,
         "epochs_ran": len(result.history),
         "best_epoch": result.best_epoch,
+        "best_val_metric": result.best_metric,
         "best_val_dice": result.best_metric,
         "checkpoint": str(ckpt_dir),
         "final_checkpoint": str(final_dir),

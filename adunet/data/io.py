@@ -36,6 +36,7 @@ __all__ = [
     "load_rgb_image_full",
     "load_image_stack",
     "load_mask",
+    "load_label_mask",
     "read_image_size",
 ]
 
@@ -117,6 +118,49 @@ def load_image_stack(directory: str | Path, size: int, limit: Optional[int] = No
     if not images:
         raise ValueError(f"No images found in {directory}")
     return np.stack(images, axis=0)
+
+
+def _read_gray(path: Path) -> np.ndarray:
+    """Decode a mask file to a 2-D integer/float array, no resize."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(str(path))
+    elif _HAS_CV2:
+        arr = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
+        if arr is None:
+            raise FileNotFoundError(f"Unable to read mask: {path}")
+    elif _HAS_PIL:
+        with Image.open(path) as im:
+            arr = np.asarray(im.convert("L"))
+    else:
+        raise RuntimeError("No image decoder available (need cv2 or PIL).")
+    if arr.ndim == 3:
+        arr = arr[..., 0]
+    return arr
+
+
+def _nearest_resize(arr: np.ndarray, size: int) -> np.ndarray:
+    if arr.shape[:2] == (size, size):
+        return arr
+    if _HAS_CV2 and arr.dtype != np.int64:
+        return cv2.resize(arr, (size, size), interpolation=cv2.INTER_NEAREST)
+    ys = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
+    xs = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
+    return arr[np.ix_(ys, xs)]
+
+
+def load_label_mask(path: str | Path, size: int, num_classes: int) -> np.ndarray:
+    """Multiclass mask → one-hot float32 (size, size, num_classes).
+
+    The file stores integer class ids (Cityscapes-style labelIds); resize is
+    NEAREST so ids never interpolate. Ids >= num_classes clamp into the last
+    class (treated as ignore/void by convention). Supports BASELINE config 4
+    (softmax head, unet_vinillia.py:89-90).
+    """
+    arr = _read_gray(Path(path))
+    arr = _nearest_resize(arr, size)
+    labels = np.clip(arr.astype(np.int64), 0, num_classes - 1)
+    return np.eye(num_classes, dtype=np.float32)[labels]
 
 
 def load_mask(path: str | Path, size: int, threshold: float = 0.5) -> np.ndarray:

@@ -17,14 +17,16 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 from adunet.data.discovery import collect_isic_pairs
-from adunet.data.io import load_mask, load_rgb_image
+from adunet.data.io import load_label_mask, load_mask, load_rgb_image
 
 __all__ = ["SegPairDataset", "build_isic_dataset"]
 
 
 class SegPairDataset:
-    """Iterator of (images, masks) float32 batches: (B,S,S,3), (B,S,S,1).
+    """Iterator of (images, masks) float32 batches: (B,S,S,3), (B,S,S,C).
 
+    ``num_classes == 1`` loads binarised masks (B,S,S,1); > 1 loads integer
+    label maps one-hot encoded to (B,S,S,C) for the softmax head.
     One pass per ``__iter__`` (finite); shuffled per pass when requested.
     ``augment`` is metadata consumed by the train loop (augmentation is a
     jitted device op here, not a host map).
@@ -39,6 +41,7 @@ class SegPairDataset:
         shuffle: bool,
         seed: int,
         prefetch_batches: int = 4,
+        num_classes: int = 1,
     ):
         pairs = list(pairs)
         if not pairs:
@@ -50,6 +53,7 @@ class SegPairDataset:
         self.shuffle = shuffle
         self.seed = seed
         self.prefetch_batches = prefetch_batches
+        self.num_classes = num_classes
         self._epoch = 0
         self.steps_per_epoch = math.ceil(len(pairs) / batch_size)
 
@@ -57,10 +61,10 @@ class SegPairDataset:
         return len(self.pairs)
 
     def _load_pair(self, image_path: str, mask_path: str) -> Tuple[np.ndarray, np.ndarray]:
-        return (
-            load_rgb_image(image_path, self.image_size),
-            load_mask(mask_path, self.image_size),
-        )
+        image = load_rgb_image(image_path, self.image_size)
+        if self.num_classes > 1:
+            return image, load_label_mask(mask_path, self.image_size, self.num_classes)
+        return image, load_mask(mask_path, self.image_size)
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.pairs))

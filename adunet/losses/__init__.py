@@ -10,6 +10,8 @@ from adunet.losses.sr import (
 )
 from adunet.losses.seg import (
     binary_crossentropy,
+    categorical_crossentropy,
+    make_weighted_ce_loss,
     dice_loss,
     make_hybrid_ce_dice_loss,
     make_bce_dice_loss,
@@ -29,6 +31,8 @@ __all__ = [
     "psnr_metric",
     "build_losses_and_metrics",
     "binary_crossentropy",
+    "categorical_crossentropy",
+    "make_weighted_ce_loss",
     "dice_loss",
     "make_hybrid_ce_dice_loss",
     "make_bce_dice_loss",

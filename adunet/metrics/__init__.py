@@ -4,6 +4,7 @@ from adunet.metrics.psnr_ssim import psnr, mse_per_image, ssim, ssim_multiscale
 from adunet.metrics.seg import (
     dice_coefficient,
     iou_score,
+    mean_iou,
     global_dice_coefficient,
     binary_accuracy,
     precision,
@@ -17,6 +18,7 @@ __all__ = [
     "ssim_multiscale",
     "dice_coefficient",
     "iou_score",
+    "mean_iou",
     "global_dice_coefficient",
     "binary_accuracy",
     "precision",

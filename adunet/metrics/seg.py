@@ -14,6 +14,7 @@ import jax.numpy as jnp
 __all__ = [
     "dice_coefficient",
     "iou_score",
+    "mean_iou",
     "global_dice_coefficient",
     "binary_accuracy",
     "precision",
@@ -45,6 +46,29 @@ def iou_score(y_true: jax.Array, y_pred: jax.Array, smooth: float = 1e-6) -> jax
     union = total - intersection
     iou = (intersection + smooth) / (union + smooth)
     return jnp.mean(iou)
+
+
+@functools.partial(jax.jit, static_argnames=("num_classes",))
+def mean_iou(y_true: jax.Array, y_pred: jax.Array, num_classes: int) -> jax.Array:
+    """Hard mIoU over one-hot labels / class-probability predictions.
+
+    Labels and predictions are argmaxed to hard class maps; per-class IoU is
+    intersection/union over the whole batch; classes absent from both label
+    and prediction (union == 0) are excluded from the mean. This is the
+    multiclass eval metric for the softmax-head configuration
+    (unet_vinillia.py:89-90; BASELINE config 4).
+    """
+    t = jnp.argmax(y_true, axis=-1)
+    p = jnp.argmax(y_pred, axis=-1)
+    # confusion counts via one-hot sums — static shapes, no scatter
+    t1 = jax.nn.one_hot(t, num_classes, dtype=jnp.float32)
+    p1 = jax.nn.one_hot(p, num_classes, dtype=jnp.float32)
+    axes = tuple(range(t1.ndim - 1))
+    intersection = jnp.sum(t1 * p1, axis=axes)
+    union = jnp.sum(t1, axis=axes) + jnp.sum(p1, axis=axes) - intersection
+    present = union > 0
+    iou = jnp.where(present, intersection / jnp.maximum(union, 1.0), 0.0)
+    return jnp.sum(iou) / jnp.maximum(jnp.sum(present.astype(jnp.float32)), 1.0)
 
 
 @functools.partial(jax.jit, static_argnames=("smooth",))

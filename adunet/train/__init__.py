@@ -10,6 +10,7 @@ from adunet.train.sr import (
     DATA_LR_SHRINK,
 )
 from adunet.train.seg import make_seg_train_step, make_seg_eval_step
+from adunet.train.joint import make_joint_train_step, make_joint_eval_step
 from adunet.train.loop import fit, FitResult, EpochLog
 from adunet.train.checkpoint import CheckpointManager
 
@@ -25,6 +26,8 @@ __all__ = [
     "DATA_LR_SHRINK",
     "make_seg_train_step",
     "make_seg_eval_step",
+    "make_joint_train_step",
+    "make_joint_eval_step",
     "fit",
     "FitResult",
     "EpochLog",
