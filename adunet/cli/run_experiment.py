@@ -23,7 +23,10 @@ from typing import List, Optional
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(description="Launch an experiment sweep.")
     parser.add_argument("--experiment", required=True,
-                        choices=["fixed_depth", "adaptive_depth", "seg_protocols"])
+                        choices=["fixed_depth", "adaptive_depth", "seg_protocols",
+                                 "tune_sr", "tune_seg"])
+    parser.add_argument("--n_trials", type=int, default=20,
+                        help="Trial budget for tune_sr/tune_seg experiments.")
     parser.add_argument("--mode", choices=["print", "run", "sbatch"], default="print")
     parser.add_argument("--high_res_dir", type=str, default=None)
     parser.add_argument("--train_images", type=str, default=None)
@@ -68,6 +71,62 @@ def main(argv: Optional[List[str]] = None) -> None:
     args = parse_args(argv)
 
     from adunet.experiments import sweep_runs, write_metadata
+
+    # Tuning jobs: single-plan experiments over the tune CLI — gives the
+    # reference's tune_unet_optuna.sbatch an emission path (SURVEY §2.4).
+    if args.experiment in ("tune_sr", "tune_seg"):
+        from adunet.experiments.sweeps import RunPlan
+
+        if args.experiment == "tune_sr":
+            if not args.high_res_dir:
+                raise ValueError("tune_sr requires --high_res_dir")
+            argv_tune = [
+                "--workload", "sr",
+                "--n-trials", str(args.n_trials),
+                "--high-res-dir", args.high_res_dir,
+                "--image-suffix", args.image_suffix,
+                "--results", str(Path(args.log_dir) / "tune_sr_results.json"),
+                "--model-dir", args.model_dir,
+                "--seed", str(args.seed),
+                "--retrain",
+            ]
+        else:
+            required = (args.train_images, args.train_masks, args.val_images, args.val_masks)
+            if any(v is None for v in required):
+                raise ValueError("tune_seg requires --train_images/--train_masks/--val_images/--val_masks")
+            argv_tune = [
+                "--workload", "seg",
+                "--n-trials", str(args.n_trials),
+                "--train-images", args.train_images,
+                "--train-masks", args.train_masks,
+                "--val-images", args.val_images,
+                "--val-masks", args.val_masks,
+                "--results", str(Path(args.log_dir) / "tune_seg_results.json"),
+                "--model-dir", args.model_dir,
+                "--seed", str(args.seed),
+                "--retrain",
+            ]
+        argv_tune += list(args.extra_args)
+        plan = RunPlan(name=args.experiment, argv=argv_tune,
+                       metadata={"experiment": args.experiment, "n_trials": args.n_trials})
+        write_metadata(plan, Path(args.metadata_dir))
+        if args.mode == "print":
+            print(f"{plan.name}: python -m adunet.cli.tune " + " ".join(plan.argv))
+        elif args.mode == "sbatch":
+            sbatch_dir = Path(args.sbatch_dir)
+            sbatch_dir.mkdir(parents=True, exist_ok=True)
+            script = _SBATCH_TEMPLATE.format(
+                name=plan.name, log_dir=args.log_dir, module="tune", args=" ".join(plan.argv)
+            )
+            path = sbatch_dir / f"{plan.name}.sbatch"
+            path.write_text(script)
+            path.chmod(0o755)
+            print(f"wrote {path}")
+        else:
+            from adunet.cli.tune import main as tune_main
+
+            tune_main(plan.argv)
+        return
 
     seg_dirs = None
     if args.experiment == "seg_protocols":

@@ -134,6 +134,7 @@ def train(cfg) -> dict:
         train_patch_count = len(train_idx)
         steps_per_epoch = train_ds.steps_per_epoch
         val_ds = paired_dataset(val_idx, shuffle=False, drop_remainder=False)
+        val_patch_count, test_patch_count = len(val_idx), len(test_idx)
     else:
         train_ds, train_patch_count = make_training_patch_dataset(
             train_paths,
@@ -147,6 +148,7 @@ def train(cfg) -> dict:
         steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
 
         val_ds = None
+        val_patch_count = 0
         if val_paths:
             val_ds, val_patch_count, _ = make_eval_patch_dataset(
                 val_paths,
@@ -154,6 +156,15 @@ def train(cfg) -> dict:
                 scale=degrade_scale,
                 batch_size=cfg.batch_size,
                 stride=cfg.eval_stride,
+            )
+        # census only — counted from image headers, no decode
+        from adunet.data import grid_patch_count, read_image_size
+
+        test_patch_count = 0
+        for p in test_paths:
+            h, w = read_image_size(p)
+            test_patch_count += grid_patch_count(
+                h, w, cfg.patch_size, stride=cfg.eval_stride or cfg.patch_size
             )
 
     dtype = jnp.bfloat16 if cfg.mixed_precision else jnp.float32
@@ -255,6 +266,48 @@ def train(cfg) -> dict:
         tb_writer = SummaryWriter(str(run_dir))
     except Exception:
         tb_writer = None
+
+    if tb_writer is not None:
+        # step-0 observability parity (reference train_adaptive_unet.py:573-598):
+        # hyperparameter text, dataset census scalars, preview image grids +
+        # histograms of the exact (hr, lr) pairs the model will see.
+        tb_writer.add_text(
+            "config/hyperparameters",
+            "```json\n" + json.dumps(config_payload, indent=2, default=str) + "\n```",
+            0,
+        )
+        tb_writer.add_text("model/summary", "```\n" + table + "\n```", 0)
+        tb_writer.add_scalar("dataset/images/train", len(train_paths), 0)
+        tb_writer.add_scalar("dataset/images/val", len(val_paths), 0)
+        tb_writer.add_scalar("dataset/images/test", len(test_paths), 0)
+        tb_writer.add_scalar("dataset/patches_per_epoch/train", int(train_patch_count), 0)
+        tb_writer.add_scalar("dataset/patches/val", int(val_patch_count), 0)
+        tb_writer.add_scalar("dataset/patches/test", int(test_patch_count), 0)
+
+        preview_count = min(cfg.preview_patches, len(train_paths))
+        if preview_count > 0:
+            from adunet.data import load_rgb_image_full, random_patches
+            from adunet.ops import degrade as _degrade
+
+            rng_np = np.random.default_rng(cfg.seed)
+            if paired:
+                lr_b, hr_b = next(iter(paired_dataset(train_idx[:preview_count],
+                                                      shuffle=False, drop_remainder=False)))
+                hr_preview, lr_preview = hr_b, lr_b
+            else:
+                first = load_rgb_image_full(train_paths[0])
+                hr_preview = random_patches(first, cfg.patch_size, count=preview_count, rng=rng_np)
+                lr_preview = np.asarray(
+                    jax.jit(lambda h: _degrade(h, degrade_scale, cfg.patch_size))(
+                        jnp.asarray(hr_preview)
+                    )
+                )
+            hr01 = np.clip(hr_preview, 0.0, 1.0)
+            lr01 = np.clip(lr_preview, 0.0, 1.0)
+            tb_writer.add_images("samples/hr_train", hr01, 0, dataformats="NHWC")
+            tb_writer.add_images("samples/lr_train", lr01, 0, dataformats="NHWC")
+            tb_writer.add_histogram("hist/hr_train", hr01.reshape(-1), 0)
+            tb_writer.add_histogram("hist/lr_train", lr01.reshape(-1), 0)
 
     train_step = make_sr_train_step(model, loss_fn, data_scale=degrade_scale)
     val_step = make_sr_val_step(model, loss_fn, data_scale=degrade_scale)

@@ -1,11 +1,13 @@
 """Hyperparameter tuning CLI for both workloads.
 
 Rebuild of /root/reference/Super_resolution/code/u_net_vanilla_optuna.py and
-/root/reference/Segmenation/code/unet_vinillia_optuna.py: search over the
-same spaces (SR: lr + combined-loss weights + batch size; seg: lr, base
-channels, depth, batch, augmentation) with per-epoch pruning on the
-monitored metric, JSON results, and optional best-config retrain. Uses
-optuna when installed, the built-in engine otherwise (adunet.tune).
+/root/reference/Segmenation/code/unet_vinillia_optuna.py. The SR search
+matches the reference exactly: TPE over lr + combined-loss alpha/beta/gamma +
+batch size on the **vanilla** U-Net, minimising val_loss with median pruning,
+then a final best-config retrain that saves the model
+(u_net_vanilla_optuna.py:160-250). The seg search covers lr, base channels,
+depth, batch, augmentation, maximising val Dice, with optional retrain. Uses
+optuna when installed, the built-in TPE engine otherwise (adunet.tune).
 """
 
 from __future__ import annotations
@@ -26,9 +28,20 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--results", type=Path, default=Path("runs/tune_results.json"))
     parser.add_argument("--pruner", choices=["median", "hyperband", "none"], default="median")
+    parser.add_argument("--sampler", choices=["tpe", "random"], default="tpe")
+    parser.add_argument("--retrain", action="store_true",
+                        help="Retrain the best config after the study and save the model "
+                             "(reference train_final_model, u_net_vanilla_optuna.py:209-250).")
+    parser.add_argument("--final-epochs", type=int, default=None,
+                        help="Epochs for the best-config retrain (default: 2x trial epochs).")
+    parser.add_argument("--model-dir", type=Path, default=Path("runs/models"))
     # SR data
     parser.add_argument("--high-res-dir", type=str, default=None)
+    parser.add_argument("--low-res-dir", type=str, default=None,
+                        help="Paired LR directory; when absent LR is synthesised at 0.5.")
     parser.add_argument("--image-suffix", type=str, default=".png")
+    parser.add_argument("--sr-base-channels", type=int, default=64,
+                        help="Vanilla SR U-Net width (reference fixes 64).")
     # seg data
     parser.add_argument("--train-images", type=str, default=None)
     parser.add_argument("--train-masks", type=str, default=None)
@@ -40,68 +53,110 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
 
 
 def _sr_objective_factory(args):
+    """Reference search space (u_net_vanilla_optuna.py:160-170): TPE over
+    lr/alpha/beta/gamma/batch on the vanilla U-Net with the combined
+    MSE+SSIM+VGG loss, minimising best val_loss."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from adunet.data import find_images, make_eval_patch_dataset, make_training_patch_dataset
-    from adunet.losses import build_losses_and_metrics
-    from adunet.models import build_super_resolution_unet
+    from adunet.data import ArrayDataset, find_images, load_image_stack, load_rgb_image
+    from adunet.losses import build_losses_and_metrics, make_perceptual_fn
+    from adunet.models import VanillaSRUNet
+    from adunet.ops import degrade
     from adunet.train import (
+        CheckpointManager,
         create_train_state,
         make_optimizer,
-        make_sr_train_step,
-        make_sr_val_step,
+        make_vanilla_sr_train_step,
+        make_vanilla_sr_val_step,
     )
     from adunet.tune import TrialPruned
     from adunet.utils import split_indices
 
     hr_paths = find_images(args.high_res_dir, args.image_suffix, args.limit)
+    hr_images = np.stack([load_rgb_image(p, args.image_size) for p in hr_paths])
+    if args.low_res_dir:
+        lr_images = load_image_stack(args.low_res_dir, args.image_size, limit=args.limit)
+        if lr_images.shape != hr_images.shape:
+            raise ValueError("HR and LR stacks must align one-to-one.")
+    else:
+        lr_images = np.asarray(
+            jax.jit(jax.vmap(lambda h: degrade(h, 0.5, args.image_size)))(jnp.asarray(hr_images))
+        )
     tr_idx, va_idx, _ = split_indices(len(hr_paths), 0.8, 0.2, 0.0, args.seed)
-    train_paths = [hr_paths[i] for i in tr_idx]
-    val_paths = [hr_paths[i] for i in va_idx]
 
-    def objective(trial) -> float:
-        lr = trial.suggest_float("learning_rate", 1e-5, 1e-3, log=True)
-        batch_size = trial.suggest_categorical("batch_size", [4, 8, 16])
-        loss_name = trial.suggest_categorical("loss", ["charbonnier", "l1"])
+    # one perceptual tower shared across trials (the weights never change)
+    perceptual_fn = make_perceptual_fn(input_size=args.image_size)
 
-        train_ds, n_patches = make_training_patch_dataset(
-            train_paths, patch_size=args.image_size, patches_per_image=2,
-            scale=0.5, batch_size=batch_size, seed=args.seed,
+    def run_config(lr_rate, alpha, beta, gamma, batch_size, epochs,
+                   trial=None, ckpt=None):
+        train_ds = ArrayDataset(
+            lr_images[np.asarray(tr_idx)], hr_images[np.asarray(tr_idx)],
+            batch_size=batch_size, shuffle=True, seed=args.seed,
         )
-        val_ds, _, _ = make_eval_patch_dataset(
-            val_paths, patch_size=args.image_size, scale=0.5, batch_size=batch_size
+        val_ds = ArrayDataset(
+            lr_images[np.asarray(va_idx)], hr_images[np.asarray(va_idx)],
+            batch_size=batch_size, shuffle=False, seed=args.seed,
         )
-        steps_per_epoch = math.ceil(n_patches / batch_size)
-
-        model, _ = build_super_resolution_unet(scale=0.5, input_size=args.image_size)
-        loss_fn, _m = build_losses_and_metrics(loss_name)
+        model = VanillaSRUNet(base_channels=args.sr_base_channels)
+        loss_fn, _m = build_losses_and_metrics(
+            "combined", perceptual_fn=perceptual_fn, alpha=alpha, beta=beta, gamma=gamma
+        )
         state = create_train_state(
             model, jax.random.key(args.seed),
-            jnp.zeros((1, args.image_size, args.image_size, 3)), make_optimizer(lr),
+            jnp.zeros((1, args.image_size, args.image_size, 3)), make_optimizer(lr_rate),
         )
-        step = make_sr_train_step(model, loss_fn)
-        val_step = make_sr_val_step(model, loss_fn)
+        step = make_vanilla_sr_train_step(model, loss_fn)
+        val_step = make_vanilla_sr_val_step(model, loss_fn)
 
-        it = iter(train_ds)
+        def forever(ds):
+            while True:
+                yield from ds
+
+        it = forever(train_ds)
         best = np.inf
-        for epoch in range(args.epochs):
-            for _ in range(steps_per_epoch):
-                state, _metrics = step(state, jnp.asarray(next(it)), None)
+        for epoch in range(epochs):
+            for _ in range(train_ds.steps_per_epoch):
+                lr_b, hr_b = next(it)
+                state, _metrics = step(state, (jnp.asarray(lr_b), jnp.asarray(hr_b)), None)
             vals, weights = [], []
-            for vbatch in val_ds:
-                out = val_step(state, jnp.asarray(vbatch))
+            for lr_b, hr_b in val_ds:
+                out = val_step(state, (jnp.asarray(lr_b), jnp.asarray(hr_b)))
                 vals.append(float(np.asarray(out["loss"])))
-                weights.append(vbatch.shape[0])
+                weights.append(lr_b.shape[0])
             val_loss = float(np.average(vals, weights=weights))
             best = min(best, val_loss)
-            trial.report(val_loss, epoch)
-            if trial.should_prune():
-                raise TrialPruned()
+            if ckpt is not None:
+                ckpt.save(epoch + 1, state, metrics={"val_loss": val_loss})
+            if trial is not None:
+                trial.report(val_loss, epoch)
+                if trial.should_prune():
+                    raise TrialPruned()
         return best
 
-    return objective, "minimize"
+    def objective(trial) -> float:
+        lr_rate = trial.suggest_float("lr", 1e-5, 5e-3, log=True)
+        alpha = trial.suggest_float("alpha", 0.5, 2.0)
+        beta = trial.suggest_float("beta", 1e-3, 0.5, log=True)
+        gamma = trial.suggest_float("gamma", 1e-4, 0.1, log=True)
+        batch_size = trial.suggest_categorical("batch_size", [4, 8, 16])
+        return run_config(lr_rate, alpha, beta, gamma, batch_size, args.epochs, trial=trial)
+
+    def retrain(best_params) -> dict:
+        final_epochs = args.final_epochs or 2 * args.epochs
+        ckpt_dir = Path(args.model_dir).expanduser() / "unet_vanilla_tuned_best"
+        ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
+        best = run_config(
+            float(best_params["lr"]), float(best_params["alpha"]),
+            float(best_params["beta"]), float(best_params["gamma"]),
+            int(best_params["batch_size"]), final_epochs, ckpt=ckpt,
+        )
+        ckpt.write_config({"workload": "sr", **best_params, "final_epochs": final_epochs})
+        ckpt.close()
+        return {"final_val_loss": best, "checkpoint": str(ckpt_dir)}
+
+    return objective, "minimize", retrain
 
 
 def _seg_objective_factory(args):
@@ -120,13 +175,8 @@ def _seg_objective_factory(args):
     )
     from adunet.tune import TrialPruned
 
-    def objective(trial) -> float:
-        lr = trial.suggest_float("learning_rate", 1e-5, 1e-2, log=True)
-        base_channels = args.base_channels or trial.suggest_categorical("base_channels", [16, 32, 64])
-        depth = trial.suggest_int("depth", 3, 5)
-        batch_size = trial.suggest_categorical("batch_size", [8, 16])
-        augment = trial.suggest_categorical("augment", [True, False])
-
+    def run_config(lr, base_channels, depth, batch_size, augment, epochs,
+                   trial=None, ckpt=None):
         train_ds, n_train = build_isic_dataset(
             args.train_images, args.train_masks, batch_size=batch_size,
             image_size=args.image_size, augment=augment, shuffle=True,
@@ -156,7 +206,7 @@ def _seg_objective_factory(args):
                 yield from ds
 
         it = infinite(train_ds)
-        for epoch in range(args.epochs):
+        for epoch in range(epochs):
             for _ in range(steps_per_epoch):
                 rng, sub = jax.random.split(rng)
                 images, masks = next(it)
@@ -168,12 +218,42 @@ def _seg_objective_factory(args):
                 weights.append(images.shape[0])
             val_dice = float(np.average(vals, weights=weights))
             best = max(best, val_dice)
-            trial.report(val_dice, epoch)
-            if trial.should_prune():
-                raise TrialPruned()
+            if ckpt is not None:
+                ckpt.save(epoch + 1, state, metrics={"val_dice": val_dice})
+            if trial is not None:
+                trial.report(val_dice, epoch)
+                if trial.should_prune():
+                    raise TrialPruned()
         return best
 
-    return objective, "maximize"
+    def objective(trial) -> float:
+        lr = trial.suggest_float("learning_rate", 1e-5, 1e-2, log=True)
+        base_channels = args.base_channels or trial.suggest_categorical("base_channels", [16, 32, 64])
+        depth = trial.suggest_int("depth", 3, 5)
+        batch_size = trial.suggest_categorical("batch_size", [8, 16])
+        augment = trial.suggest_categorical("augment", [True, False])
+        return run_config(lr, base_channels, depth, batch_size, augment, args.epochs, trial=trial)
+
+    def retrain(best_params) -> dict:
+        from adunet.train import CheckpointManager
+
+        final_epochs = args.final_epochs or 2 * args.epochs
+        ckpt_dir = Path(args.model_dir).expanduser() / "unet_seg_tuned_best"
+        ckpt = CheckpointManager(ckpt_dir, monitor="val_dice", mode="max")
+        best = run_config(
+            float(best_params["learning_rate"]),
+            int(best_params.get("base_channels", args.base_channels or 32)),
+            int(best_params["depth"]),
+            int(best_params["batch_size"]),
+            bool(best_params["augment"]),
+            final_epochs,
+            ckpt=ckpt,
+        )
+        ckpt.write_config({"workload": "seg", **best_params, "final_epochs": final_epochs})
+        ckpt.close()
+        return {"final_val_dice": best, "checkpoint": str(ckpt_dir)}
+
+    return objective, "maximize", retrain
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -187,27 +267,38 @@ def main(argv: Optional[List[str]] = None) -> None:
     if args.workload == "sr":
         if not args.high_res_dir:
             raise ValueError("--high-res-dir is required for --workload sr")
-        objective, direction = _sr_objective_factory(args)
+        objective, direction, retrain = _sr_objective_factory(args)
     else:
         for flag in ("train_images", "train_masks", "val_images", "val_masks"):
             if not getattr(args, flag):
                 raise ValueError(f"--{flag.replace('_', '-')} is required for --workload seg")
-        objective, direction = _seg_objective_factory(args)
+        objective, direction, retrain = _seg_objective_factory(args)
 
-    study = create_study(direction=direction, seed=args.seed, pruner=args.pruner)
+    study = create_study(
+        direction=direction, seed=args.seed, pruner=args.pruner, sampler=args.sampler
+    )
     study.optimize(objective, n_trials=args.n_trials)
 
-    args.results.parent.mkdir(parents=True, exist_ok=True)
-    if hasattr(study, "save_results"):
-        study.save_results(args.results)
-    else:  # optuna study
-        import json
+    retrain_result = None
+    if args.retrain:
+        print(f"Retraining best config: {study.best_params}")
+        retrain_result = retrain(study.best_params)
+        print(f"Retrain result: {retrain_result}")
 
-        args.results.write_text(json.dumps({
+    args.results.parent.mkdir(parents=True, exist_ok=True)
+    import json
+
+    if hasattr(study, "results_payload"):
+        payload = study.results_payload()
+    else:  # optuna study
+        payload = {
             "best_value": study.best_value,
             "best_params": study.best_params,
             "n_trials": len(study.trials),
-        }, indent=2, default=str))
+        }
+    if retrain_result is not None:
+        payload["retrain"] = retrain_result
+    args.results.write_text(json.dumps(payload, indent=2, default=str))
     print(f"Best value: {study.best_value}")
     print(f"Best params: {study.best_params}")
     print(f"Results written to {args.results}")

@@ -67,6 +67,8 @@ class SRTrainConfig:
     remat: bool = False
     n_devices: Optional[int] = None  # None = all visible devices
     profile: bool = False
+    # step-0 TensorBoard preview image count (reference train_adaptive_unet.py:572)
+    preview_patches: int = 3
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink

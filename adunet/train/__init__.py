@@ -6,6 +6,8 @@ from adunet.train.sr import (
     make_sr_train_step,
     make_sr_eval_step,
     make_sr_val_step,
+    make_vanilla_sr_train_step,
+    make_vanilla_sr_val_step,
     sr_loss_and_metrics,
     DATA_LR_SHRINK,
 )
@@ -22,6 +24,8 @@ __all__ = [
     "make_sr_train_step",
     "make_sr_eval_step",
     "make_sr_val_step",
+    "make_vanilla_sr_train_step",
+    "make_vanilla_sr_val_step",
     "sr_loss_and_metrics",
     "DATA_LR_SHRINK",
     "make_seg_train_step",

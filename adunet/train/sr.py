@@ -26,7 +26,14 @@ from adunet.metrics.psnr_ssim import mse_per_image, psnr, ssim, ssim_multiscale
 from adunet.ops import degrade, rgb_to_luma_bt601
 from adunet.train.state import TrainState
 
-__all__ = ["sr_loss_and_metrics", "make_sr_train_step", "make_sr_eval_step", "DATA_LR_SHRINK"]
+__all__ = [
+    "sr_loss_and_metrics",
+    "make_sr_train_step",
+    "make_sr_eval_step",
+    "make_vanilla_sr_train_step",
+    "make_vanilla_sr_val_step",
+    "DATA_LR_SHRINK",
+]
 
 # constant LR degradation factor for training (reference :60)
 DATA_LR_SHRINK = 0.5
@@ -132,5 +139,60 @@ def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK):
         pred = state.apply_fn(variables, lr_batch)
         loss, metrics = sr_loss_and_metrics(loss_fn, hr_batch, pred)
         return {"loss": loss, **metrics}
+
+    return step
+
+
+def make_vanilla_sr_train_step(model, loss_fn, donate: bool = True):
+    """Paired-batch train step for BatchNorm SR models (the vanilla baseline,
+    u-net-vinillia.py:128-241): batch = (lr, hr), running statistics updated
+    through the flax mutable collection."""
+
+    def step(state: TrainState, batch, rng: jax.Array | None = None):
+        del rng
+        lr_batch, hr_batch = batch
+
+        def compute_loss(params):
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                pred, new_vars = state.apply_fn(
+                    variables, lr_batch, train=True, mutable=["batch_stats"]
+                )
+                new_stats = new_vars.get("batch_stats")
+            else:
+                pred = state.apply_fn(variables, lr_batch, train=True)
+                new_stats = None
+            loss = loss_fn(hr_batch, pred)
+            clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+            psnr_val = jnp.mean(psnr(hr_batch.astype(jnp.float32), clipped))
+            return loss, (psnr_val, new_stats)
+
+        (loss, (psnr_val, new_stats)), grads = jax.value_and_grad(
+            compute_loss, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        if new_stats is not None:
+            new_state = new_state.replace(batch_stats=new_stats)
+        return new_state, {"loss": loss, "psnr": psnr_val}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_vanilla_sr_val_step(model, loss_fn):
+    """Paired-batch validation step (inference-mode BatchNorm)."""
+
+    @partial(jax.jit)
+    def step(state: TrainState, batch):
+        lr_batch, hr_batch = batch
+        variables = {"params": state.params}
+        if state.batch_stats is not None:
+            variables["batch_stats"] = state.batch_stats
+        pred = state.apply_fn(variables, lr_batch, train=False)
+        clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+        return {
+            "loss": loss_fn(hr_batch, pred),
+            "psnr": jnp.mean(psnr(hr_batch.astype(jnp.float32), clipped)),
+        }
 
     return step

@@ -1,12 +1,17 @@
-"""Minimal hyperparameter search engine with an optuna-compatible surface.
+"""Hyperparameter search engine with an optuna-compatible surface.
 
 The reference tunes with optuna (TPESampler + MedianPruner,
 Super_resolution/code/u_net_vanilla_optuna.py:153-283,
 Segmenation/code/unet_vinillia_optuna.py). optuna is not installed in this
 image, so ``create_study`` returns a real optuna study when the package is
-importable and otherwise this module's built-in engine: seeded random search
-over the same suggest API plus median pruning on intermediate values — the
-objective code is identical either way.
+importable and otherwise this module's built-in engine, whose default
+sampler is a univariate **TPE** (tree-structured Parzen estimator): after a
+random startup phase, completed trials are split into a good quantile and
+the rest, each parameter is modelled with a Parzen (Gaussian-kernel) density
+per group, candidates are drawn from the good density and ranked by the
+density ratio l(x)/g(x) — the same capability class as the reference's
+sampler, not a random-search stand-in. Median pruning on intermediate values
+is supported either way, and the objective code is identical.
 """
 
 from __future__ import annotations
@@ -16,13 +21,157 @@ import math
 import random
 from dataclasses import dataclass, field
 from pathlib import Path
-from typing import Any, Callable, Dict, List, Optional, Sequence
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
-__all__ = ["Trial", "Study", "TrialPruned", "create_study"]
+__all__ = ["Trial", "Study", "TrialPruned", "TPESampler", "RandomSampler", "create_study"]
 
 
 class TrialPruned(Exception):
     """Raised by objectives when Trial.should_prune() is honoured."""
+
+
+# --------------------------------------------------------------- samplers
+
+
+class RandomSampler:
+    """Uniform sampling over each parameter's range."""
+
+    def suggest_float(self, study, rng, name, low, high, log=False) -> float:
+        if log:
+            return math.exp(rng.uniform(math.log(low), math.log(high)))
+        return rng.uniform(low, high)
+
+    def suggest_int(self, study, rng, name, low, high, step=1) -> int:
+        return rng.randrange(low, high + 1, step)
+
+    def suggest_categorical(self, study, rng, name, choices) -> Any:
+        return rng.choice(list(choices))
+
+
+class TPESampler(RandomSampler):
+    """Univariate tree-structured Parzen estimator.
+
+    For each parameter: completed trials are ranked by objective value, the
+    best ``gamma`` fraction forms the "good" group l(x), the rest g(x); both
+    are Parzen mixtures (per-observation Gaussians plus one uniform prior
+    component for exploration). ``n_candidates`` draws from l(x) are scored
+    by log l(x) - log g(x) and the best one wins. Falls back to random
+    sampling for the first ``n_startup_trials`` completed trials.
+    """
+
+    def __init__(self, n_startup_trials: int = 5, n_candidates: int = 24, gamma: float = 0.25):
+        self.n_startup_trials = n_startup_trials
+        self.n_candidates = n_candidates
+        self.gamma = gamma
+
+    # ---- helpers ----
+
+    def _observations(self, study, name) -> Tuple[List[Any], List[Any]]:
+        """(good_values, bad_values) of parameter ``name``, direction-aware."""
+        done = [
+            t for t in study.trials
+            if t.state == "COMPLETE" and t.value is not None and name in t.params
+        ]
+        if len(done) < self.n_startup_trials:
+            return [], []
+        reverse = study.direction == "maximize"
+        done.sort(key=lambda t: t.value, reverse=reverse)
+        n_good = max(1, math.ceil(self.gamma * len(done)))
+        good = [t.params[name] for t in done[:n_good]]
+        bad = [t.params[name] for t in done[n_good:]] or good
+        return good, bad
+
+    @staticmethod
+    def _bandwidth(xs: List[float], lo: float, hi: float) -> float:
+        span = max(hi - lo, 1e-12)
+        if len(xs) < 2:
+            return span / 4.0
+        mean = sum(xs) / len(xs)
+        var = sum((x - mean) ** 2 for x in xs) / (len(xs) - 1)
+        silverman = 1.06 * math.sqrt(var) * len(xs) ** -0.2
+        # "magic clip" floor (as in optuna's TPE): never let the kernel get
+        # narrower than span/(n+1) — a collapsed bandwidth freezes the search
+        # on the first decent observation and kills exploration.
+        floor = span / min(100.0, 1.0 + len(xs))
+        return min(max(silverman, floor), span)
+
+    @staticmethod
+    def _log_mixture_pdf(c: float, xs: List[float], sigma: float, lo: float, hi: float) -> float:
+        """log of (sum of Gaussians + one uniform prior component) / (n+1)."""
+        span = max(hi - lo, 1e-12)
+        total = 1.0 / span  # uniform prior component
+        inv = 1.0 / (math.sqrt(2.0 * math.pi) * sigma)
+        for x in xs:
+            z = (c - x) / sigma
+            total += inv * math.exp(-0.5 * z * z)
+        return math.log(total / (len(xs) + 1))
+
+    def _tpe_float(self, rng, good, bad, lo, hi) -> float:
+        bw_g = self._bandwidth(good, lo, hi)
+        bw_b = self._bandwidth(bad, lo, hi)
+        best_c, best_score = None, -math.inf
+        for _ in range(self.n_candidates):
+            if rng.random() < 1.0 / (len(good) + 1):
+                c = rng.uniform(lo, hi)  # uniform prior draw
+            else:
+                c = rng.gauss(rng.choice(good), bw_g)
+            c = min(max(c, lo), hi)
+            score = (
+                self._log_mixture_pdf(c, good, bw_g, lo, hi)
+                - self._log_mixture_pdf(c, bad, bw_b, lo, hi)
+            )
+            if score > best_score:
+                best_c, best_score = c, score
+        return best_c
+
+    # ---- suggest API ----
+
+    def suggest_float(self, study, rng, name, low, high, log=False) -> float:
+        good, bad = self._observations(study, name)
+        if not good:
+            return super().suggest_float(study, rng, name, low, high, log)
+        if log:
+            g = [math.log(v) for v in good]
+            b = [math.log(v) for v in bad]
+            return math.exp(self._tpe_float(rng, g, b, math.log(low), math.log(high)))
+        return self._tpe_float(rng, good, bad, low, high)
+
+    def suggest_int(self, study, rng, name, low, high, step=1) -> int:
+        good, bad = self._observations(study, name)
+        if not good:
+            return super().suggest_int(study, rng, name, low, high, step)
+        c = self._tpe_float(rng, [float(v) for v in good], [float(v) for v in bad],
+                            float(low), float(high))
+        snapped = low + round((c - low) / step) * step
+        return int(min(max(snapped, low), high))
+
+    def suggest_categorical(self, study, rng, name, choices) -> Any:
+        choices = list(choices)
+        good, bad = self._observations(study, name)
+        if not good:
+            return super().suggest_categorical(study, rng, name, choices)
+        # smoothed category weights; sample proportional to the density ratio
+        def probs(obs):
+            counts = {c: 1.0 for c in choices}  # +1 smoothing
+            for v in obs:
+                if v in counts:
+                    counts[v] += 1.0
+            total = sum(counts.values())
+            return {c: counts[c] / total for c in choices}
+
+        pg, pb = probs(good), probs(bad)
+        ratios = [pg[c] / pb[c] for c in choices]
+        total = sum(ratios)
+        pick = rng.uniform(0.0, total)
+        acc = 0.0
+        for c, r in zip(choices, ratios):
+            acc += r
+            if pick <= acc:
+                return c
+        return choices[-1]
+
+
+# --------------------------------------------------------------- trials
 
 
 @dataclass
@@ -35,22 +184,19 @@ class Trial:
     value: Optional[float] = None
     state: str = "RUNNING"  # RUNNING | COMPLETE | PRUNED | FAIL
 
-    # ---- optuna-compatible suggest API ----
+    # ---- optuna-compatible suggest API (delegates to the study sampler) ----
     def suggest_float(self, name: str, low: float, high: float, *, log: bool = False) -> float:
-        if log:
-            value = math.exp(self._rng.uniform(math.log(low), math.log(high)))
-        else:
-            value = self._rng.uniform(low, high)
+        value = self._study.sampler.suggest_float(self._study, self._rng, name, low, high, log)
         self.params[name] = value
         return value
 
     def suggest_int(self, name: str, low: int, high: int, *, step: int = 1) -> int:
-        value = self._rng.randrange(low, high + 1, step)
+        value = self._study.sampler.suggest_int(self._study, self._rng, name, low, high, step)
         self.params[name] = value
         return value
 
     def suggest_categorical(self, name: str, choices: Sequence[Any]) -> Any:
-        value = self._rng.choice(list(choices))
+        value = self._study.sampler.suggest_categorical(self._study, self._rng, name, choices)
         self.params[name] = value
         return value
 
@@ -63,13 +209,14 @@ class Trial:
 
 
 class Study:
-    """Seeded random-search study with median pruning."""
+    """Seeded TPE (default) or random-search study with median pruning."""
 
     def __init__(
         self,
         direction: str = "minimize",
         seed: int = 0,
         pruner: str = "median",
+        sampler: str | RandomSampler = "tpe",
         n_warmup_trials: int = 2,
         n_warmup_steps: int = 1,
     ):
@@ -78,6 +225,9 @@ class Study:
         self.direction = direction
         self.seed = seed
         self.pruner = pruner
+        if isinstance(sampler, str):
+            sampler = TPESampler() if sampler == "tpe" else RandomSampler()
+        self.sampler = sampler
         self.n_warmup_trials = n_warmup_trials
         self.n_warmup_steps = n_warmup_steps
         self.trials: List[Trial] = []
@@ -148,6 +298,7 @@ class Study:
     def results_payload(self) -> Dict[str, Any]:
         return {
             "direction": self.direction,
+            "sampler": type(self.sampler).__name__,
             "n_trials": len(self.trials),
             "n_complete": len(self.completed_trials),
             "n_pruned": sum(1 for t in self.trials if t.state == "PRUNED"),
@@ -173,6 +324,7 @@ def create_study(
     direction: str = "minimize",
     seed: int = 0,
     pruner: str = "median",
+    sampler: str = "tpe",
     prefer_optuna: bool = True,
 ):
     """Return an optuna study when available, else the built-in Study."""
@@ -180,14 +332,18 @@ def create_study(
         try:  # pragma: no cover - optuna not in this image
             import optuna
 
-            sampler = optuna.samplers.TPESampler(seed=seed)
+            osampler = (
+                optuna.samplers.TPESampler(seed=seed)
+                if sampler == "tpe"
+                else optuna.samplers.RandomSampler(seed=seed)
+            )
             if pruner == "median":
                 opruner = optuna.pruners.MedianPruner()
             elif pruner == "hyperband":
                 opruner = optuna.pruners.HyperbandPruner()
             else:
                 opruner = optuna.pruners.NopPruner()
-            return optuna.create_study(direction=direction, sampler=sampler, pruner=opruner)
+            return optuna.create_study(direction=direction, sampler=osampler, pruner=opruner)
         except ImportError:
             pass
-    return Study(direction=direction, seed=seed, pruner=pruner)
+    return Study(direction=direction, seed=seed, pruner=pruner, sampler=sampler)

@@ -55,6 +55,17 @@ def test_train_and_evaluate_cli(tiny_dataset, tmp_path):
     rows = (run_dir / "epoch_metrics.csv").read_text().strip().splitlines()
     assert len(rows) == 3  # header + 2 epochs
 
+    # TensorBoard observability parity (reference train_adaptive_unet.py:573-598):
+    # hyperparameter text, dataset census, step-0 preview images + histograms
+    event_files = list(run_dir.glob("events.out.tfevents.*"))
+    assert event_files, "no TensorBoard event file written"
+    blob = b"".join(f.read_bytes() for f in event_files)
+    for tag in (b"config/hyperparameters", b"model/summary",
+                b"dataset/images/train", b"dataset/patches_per_epoch/train",
+                b"samples/hr_train", b"samples/lr_train",
+                b"hist/hr_train", b"hist/lr_train"):
+        assert tag in blob, f"missing TB tag {tag!r}"
+
     ckpt_dirs = list(model_dir.glob("unet_adaptive_scale0.50_depth1"))
     assert ckpt_dirs, f"no checkpoint dir in {list(model_dir.iterdir())}"
 

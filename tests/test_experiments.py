@@ -109,3 +109,35 @@ def test_run_mode_with_auto_eval(tmp_path):
     eval_dirs = list((tmp_path / "logs" / "evaluation").glob("*_eval"))
     assert eval_dirs, "auto-eval report missing"
     assert (eval_dirs[0] / "metrics.json").exists()
+
+
+def test_tune_experiment_emission(tmp_path):
+    """tune_sr/tune_seg get print + sbatch emission paths (the reference's
+    tune_unet_optuna.sbatch counterpart, SURVEY.md §2.4)."""
+    import contextlib
+    import io
+
+    from adunet.cli.run_experiment import main as sweep_main
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sweep_main([
+            "--experiment", "tune_sr", "--mode", "print",
+            "--high_res_dir", "/data/hr", "--n_trials", "7",
+            "--metadata_dir", str(tmp_path / "meta"),
+            "--log_dir", str(tmp_path / "logs"),
+        ])
+    out = buf.getvalue()
+    assert "adunet.cli.tune" in out and "--n-trials 7" in out and "--retrain" in out
+    assert (tmp_path / "meta" / "tune_sr.txt").exists()
+
+    sweep_main([
+        "--experiment", "tune_seg", "--mode", "sbatch",
+        "--train_images", "/d/ti", "--train_masks", "/d/tm",
+        "--val_images", "/d/vi", "--val_masks", "/d/vm",
+        "--metadata_dir", str(tmp_path / "meta"),
+        "--log_dir", str(tmp_path / "logs"),
+        "--sbatch_dir", str(tmp_path / "sbatch"),
+    ])
+    script = (tmp_path / "sbatch" / "tune_seg.sbatch").read_text()
+    assert "python -m adunet.cli.tune" in script and "--workload seg" in script

@@ -65,6 +65,57 @@ def test_create_study_fallback():
     assert isinstance(s, Study) or hasattr(s, "optimize")
 
 
+def test_tpe_beats_random_on_quadratic():
+    """The built-in TPE sampler must concentrate samples near the optimum —
+    measurably better than random search with the same budget."""
+
+    def objective(trial):
+        x = trial.suggest_float("x", -10, 10)
+        return (x - 3.0) ** 2
+
+    def best_after(sampler, n=40, seeds=(0, 1, 2, 3, 4)):
+        vals = []
+        for seed in seeds:
+            s = Study(direction="minimize", seed=seed, sampler=sampler)
+            s.optimize(objective, n)
+            vals.append(s.best_value)
+        return sum(vals) / len(vals)
+
+    tpe = best_after("tpe")
+    rnd = best_after("random")
+    assert tpe < rnd  # average-case win
+    assert tpe < 0.2  # and absolutely good
+
+
+def test_tpe_log_and_categorical_exploitation():
+    """TPE concentrates late-trial suggestions near the good region for log
+    floats and picks the winning category more often than chance."""
+
+    def objective(trial):
+        lr = trial.suggest_float("lr", 1e-5, 1e-1, log=True)
+        kind = trial.suggest_categorical("kind", ["a", "b", "c"])
+        penalty = 0.0 if kind == "a" else 1.0
+        return abs(__import__("math").log10(lr) - (-3.0)) + penalty
+
+    study = Study(direction="minimize", seed=2, sampler="tpe")
+    study.optimize(objective, 50)
+    late = study.trials[30:]
+    kinds = [t.params["kind"] for t in late]
+    assert kinds.count("a") > len(kinds) / 2  # exploitation beats 1/3 chance
+    assert abs(__import__("math").log10(study.best_params["lr"]) + 3.0) < 0.5
+
+
+def test_tpe_int_suggest_in_bounds():
+    def objective(trial):
+        d = trial.suggest_int("d", 3, 5)
+        return (d - 4) ** 2
+
+    study = Study(direction="minimize", seed=0, sampler="tpe")
+    study.optimize(objective, 20)
+    assert all(3 <= t.params["d"] <= 5 for t in study.trials)
+    assert study.best_params["d"] == 4
+
+
 def test_tune_cli_seg(tmp_path):
     """Two 1-epoch trials over a synthetic ISIC set — exercises the whole path."""
     root = tmp_path / "isic"
@@ -100,7 +151,9 @@ def test_tune_cli_seg(tmp_path):
 
 
 def test_tune_cli_sr(tmp_path):
-    """One 1-epoch SR trial over tiny npy images."""
+    """Two 1-epoch SR trials (vanilla model, combined-loss alpha/beta/gamma
+    space — reference u_net_vanilla_optuna.py:160-170) plus the best-config
+    retrain that saves a checkpoint."""
     rng = np.random.default_rng(0)
     hr = tmp_path / "hr"
     hr.mkdir()
@@ -112,12 +165,22 @@ def test_tune_cli_sr(tmp_path):
     results = tmp_path / "sr_results.json"
     tune_main([
         "--workload", "sr",
-        "--n-trials", "1",
+        "--n-trials", "2",
         "--epochs", "1",
         "--image-size", "32",
+        "--sr-base-channels", "4",
         "--high-res-dir", str(hr),
         "--image-suffix", ".npy",
         "--results", str(results),
+        "--retrain",
+        "--final-epochs", "1",
+        "--model-dir", str(tmp_path / "models"),
     ])
     payload = json.loads(results.read_text())
     assert payload["best_value"] is not None
+    # reference search space is fully present
+    for key in ("lr", "alpha", "beta", "gamma", "batch_size"):
+        assert key in payload["best_params"], key
+    # retrain saved a best-config model
+    assert payload["retrain"]["checkpoint"]
+    assert (tmp_path / "models" / "unet_vanilla_tuned_best" / "config.json").exists()
