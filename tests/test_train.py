@@ -226,3 +226,25 @@ def test_profile_trace_written(tmp_path):
     )
     assert (tmp_path / "profile").exists()
     assert list((tmp_path / "profile").rglob("*"))  # trace files written
+
+
+def test_perceptual_term_golden_pinned():
+    """The seeded random-VGG19 perceptual term is regression-pinned.
+
+    ImageNet weights are unreachable in this zero-egress image (the loader
+    ``load_vgg19_params`` is ready for a real npz); until then the combined
+    loss's VGG term uses the deterministic seed-19 tower, and this golden
+    value guards it against silent drift (reference term:
+    train_adaptive_unet.py:336-360).
+    """
+    import numpy as np
+    import jax.numpy as jnp
+
+    from adunet.losses import make_perceptual_fn
+
+    fn = make_perceptual_fn(input_size=32)
+    rng = np.random.default_rng(77)
+    a = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    b = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
+    term = float(jnp.mean(jnp.square(fn(a) - fn(b))))
+    assert term == pytest.approx(0.0670115128159523, rel=1e-4)
