@@ -356,3 +356,116 @@ def test_adaptive_sr_training_dynamics_match_keras_oracle():
     ours_holdout = float(charbonnier_loss(jnp.asarray(holdout_hr), jnp.asarray(ours_pred)))
     keras_holdout = float(charbonnier_tf(holdout_hr, keras_pred))
     assert abs(ours_holdout - keras_holdout) < 2e-3, (ours_holdout, keras_holdout)
+
+
+def test_seg_training_dynamics_match_keras_oracle():
+    """Seg (BatchNorm) training parity: protocol-A hybrid loss, same init,
+    same Adam — per-step losses and the functionally-trained models match.
+    Additionally pins BatchNorm training-mode statistics and the moving-
+    average update (Keras momentum 0.99) because the final comparison runs
+    in inference mode through the updated moving stats.
+    Reference: Segmenation/code/train_adaptive_unet.py:258-332,463-575.
+    """
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    import optax
+
+    from adunet.losses import make_hybrid_ce_dice_loss
+    from adunet.train import create_train_state
+    from adunet.train.seg import make_seg_train_step
+
+    size, base, depth = 32, 8, 2
+    batch, n_steps, lr_rate = 4, 10, 1e-3
+
+    model = build_adaptive_depth_unet(input_size=size, base_channels=base, depth=depth)
+    rng = np.random.default_rng(11)
+    img_seq = rng.random((n_steps, batch, size, size, 3), dtype=np.float32)
+    mask_seq = (rng.random((n_steps, batch, size, size, 1)) > 0.5).astype(np.float32)
+
+    import jax
+    import optax as _optax  # noqa: F401
+
+    tx = optax.adam(lr_rate, b1=0.9, b2=0.999, eps=1e-7)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(3), jnp.zeros((1, size, size, 3))
+    )
+    state = create_train_state(model, jax.random.key(3), jnp.zeros((1, size, size, 3)), tx)
+    params0 = jax.tree_util.tree_map(np.asarray, state.params)
+    stats0 = jax.tree_util.tree_map(np.asarray, state.batch_stats)
+
+    loss_fn = make_hybrid_ce_dice_loss(0.4, 0.6)
+    step = make_seg_train_step(model, loss_fn, augment="none", donate=False)
+    ours_losses = []
+    rng_key = jax.random.key(0)
+    for i in range(n_steps):
+        state, metrics = step(state, (jnp.asarray(img_seq[i]), jnp.asarray(mask_seq[i])), rng_key)
+        ours_losses.append(float(metrics["loss"]))
+
+    # --- Keras oracle (same topology as the forward-parity test) ---
+    def conv_block(t, nf, name):
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(t)
+        t = L.BatchNormalization(name=f"{name}_norm0")(t)
+        t = L.Activation("relu")(t)
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(t)
+        t = L.BatchNormalization(name=f"{name}_norm1")(t)
+        return L.Activation("relu")(t)
+
+    inputs = Input(shape=(size, size, 3))
+    t = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(t, nf, f"enc{level}")
+        t = L.MaxPooling2D(2)(skip)
+        skips.append(skip)
+        nf *= 2
+    t = conv_block(t, nf, "bottleneck")
+    for level, skip in reversed(list(enumerate(skips))):
+        nf //= 2
+        t = L.UpSampling2D(size=(2, 2), interpolation="bilinear")(t)
+        t = L.Concatenate()([t, skip])
+        t = conv_block(t, nf, f"dec{level}")
+    out = L.Conv2D(1, 1, activation="sigmoid", name="lesion_mask")(t)
+    kmodel = Model(inputs, out)
+
+    for layer in kmodel.layers:
+        name = layer.name
+        if name.endswith(("_conv0", "_conv1")):
+            block, _, suffix = name.rpartition("_")
+            tree = params0[block][f"conv{suffix[-1]}"]
+            layer.set_weights([tree["kernel"], tree["bias"]])
+        elif name == "lesion_mask":
+            layer.set_weights([params0["lesion_mask"]["kernel"], params0["lesion_mask"]["bias"]])
+        elif "_norm" in name:
+            block, _, norm = name.rpartition("_")
+            p = params0[block][norm]
+            s = stats0[block][norm]
+            layer.set_weights([p["scale"], p["bias"], s["mean"], s["var"]])
+
+    def hybrid_tf(y_true, y_pred):
+        y_true = tf.cast(y_true, tf.float32)
+        p = tf.clip_by_value(tf.cast(y_pred, tf.float32), 1e-7, 1 - 1e-7)
+        bce = -tf.reduce_mean(y_true * tf.math.log(p) + (1 - y_true) * tf.math.log(1 - p))
+        inter = tf.reduce_sum(y_true * p, axis=[1, 2, 3])
+        union = tf.reduce_sum(y_true + p, axis=[1, 2, 3])
+        dice = tf.reduce_mean((2 * inter + 1e-6) / (union + 1e-6))
+        return 0.4 * bce + 0.6 * (1 - dice)
+
+    kmodel.compile(optimizer=tf.keras.optimizers.Adam(learning_rate=lr_rate), loss=hybrid_tf)
+    keras_losses = []
+    for i in range(n_steps):
+        kmodel.reset_metrics()
+        out_k = kmodel.train_on_batch(img_seq[i], mask_seq[i])
+        keras_losses.append(float(out_k[0] if isinstance(out_k, (list, tuple)) else out_k))
+
+    np.testing.assert_allclose(np.asarray(ours_losses), np.asarray(keras_losses),
+                               rtol=5e-3, atol=5e-4)
+
+    # functional end-state parity in inference mode (exercises moving stats)
+    holdout = rng.random((batch, size, size, 3), dtype=np.float32)
+    ours_pred = np.asarray(jax.jit(
+        lambda v, x: model.apply(v, x, train=False)
+    )({"params": state.params, "batch_stats": state.batch_stats}, jnp.asarray(holdout)))
+    keras_pred = kmodel(holdout, training=False).numpy()
+    np.testing.assert_allclose(ours_pred, keras_pred, atol=2e-2)
