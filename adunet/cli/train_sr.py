@@ -60,6 +60,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--initial_epoch", type=int, default=0)
     parser.add_argument("--n_devices", type=int, default=None)
     parser.add_argument("--preview_patches", type=int, default=3)
+    parser.add_argument("--uint8_feed", action="store_true",
+                        help="Stream HR patches as uint8 and normalise on device "
+                             "(4x less host->device traffic; exact for uint8 sources).")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the first epoch into <run_dir>/profile.")
     return parser.parse_args(argv)
@@ -144,6 +147,7 @@ def train(cfg) -> dict:
             batch_size=cfg.batch_size,
             seed=cfg.seed,
             shuffle_buffer=cfg.shuffle_buffer,
+            output_dtype="uint8" if cfg.uint8_feed else "float32",
         )
         steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
 

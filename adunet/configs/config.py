@@ -69,6 +69,8 @@ class SRTrainConfig:
     profile: bool = False
     # step-0 TensorBoard preview image count (reference train_adaptive_unet.py:572)
     preview_patches: int = 3
+    # stream HR patches as uint8, normalising to [0,1] f32 on device
+    uint8_feed: bool = False
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink

@@ -34,6 +34,7 @@ except Exception:  # pragma: no cover
 __all__ = [
     "load_rgb_image",
     "load_rgb_image_full",
+    "load_rgb_image_full_u8",
     "load_image_stack",
     "load_mask",
     "load_label_mask",
@@ -90,6 +91,22 @@ def _to_float01(arr: np.ndarray) -> np.ndarray:
 def load_rgb_image_full(path: str | Path) -> np.ndarray:
     """RGB float32 [0,1], native size (shared/pipeline.py:70-76)."""
     return _to_float01(_read_rgb(Path(path)))
+
+
+def load_rgb_image_full_u8(path: str | Path) -> np.ndarray:
+    """RGB uint8, native size — the wire-efficient host-feed format.
+
+    Image files are uint8 at the source; keeping them uint8 through the
+    patch pipeline quarters host->device transfer volume (the train step
+    normalises to [0,1] f32 on device). Float sources (.npy tests) are
+    quantised to uint8.
+    """
+    arr = _read_rgb(Path(path))
+    if arr.dtype == np.uint8:
+        return arr
+    if arr.dtype == np.uint16:
+        return (arr // 257).astype(np.uint8)
+    return np.clip(np.round(arr.astype(np.float32) * 255.0), 0, 255).astype(np.uint8)
 
 
 def load_rgb_image(path: str | Path, size: int) -> np.ndarray:

@@ -27,7 +27,7 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from adunet.data.io import load_rgb_image_full, read_image_size
+from adunet.data.io import load_rgb_image_full, load_rgb_image_full_u8, read_image_size
 from adunet.data.patches import grid_patch_count, grid_patches, random_patches
 
 __all__ = [
@@ -57,6 +57,7 @@ class TrainingPatchDataset:
         seed: int,
         shuffle_buffer: int = 1024,
         prefetch_batches: int = 4,
+        output_dtype: str = "float32",
     ):
         hr_files = list(hr_files)
         if not hr_files:
@@ -65,6 +66,8 @@ class TrainingPatchDataset:
             raise ValueError("patches_per_image must be positive.")
         if patch_size <= 0:
             raise ValueError("patch_size must be positive.")
+        if output_dtype not in ("float32", "uint8"):
+            raise ValueError("output_dtype must be 'float32' or 'uint8'.")
         self.hr_files = hr_files
         self.patch_size = patch_size
         self.patches_per_image = patches_per_image
@@ -73,6 +76,9 @@ class TrainingPatchDataset:
         self.seed = seed
         self.shuffle_buffer = shuffle_buffer
         self.prefetch_batches = prefetch_batches
+        # uint8 keeps the wire format 4x smaller; the jitted step normalises
+        # to [0,1] f32 on device (images are uint8 at the source anyway)
+        self.output_dtype = output_dtype
         self.total_patches = len(hr_files) * patches_per_image
         self.steps_per_epoch = math.ceil(self.total_patches / batch_size)
 
@@ -81,6 +87,9 @@ class TrainingPatchDataset:
         sliding window of pending decodes ahead of the consumer."""
         files = list(self.hr_files)
         window = 4
+        loader = (
+            load_rgb_image_full_u8 if self.output_dtype == "uint8" else load_rgb_image_full
+        )
 
         with ThreadPoolExecutor(max_workers=window) as pool:
             while True:
@@ -89,7 +98,7 @@ class TrainingPatchDataset:
                 idx = 0
                 while idx < len(files) or pending:
                     while idx < len(files) and len(pending) < window:
-                        pending.append(pool.submit(load_rgb_image_full, files[idx]))
+                        pending.append(pool.submit(loader, files[idx]))
                         idx += 1
                     image = pending.popleft().result()
                     for patch in random_patches(
@@ -199,6 +208,7 @@ def make_training_patch_dataset(
     batch_size: int,
     seed: int,
     shuffle_buffer: int = 1024,
+    output_dtype: str = "float32",
 ) -> Tuple[TrainingPatchDataset, int]:
     """Signature-parity constructor (shared/pipeline.py:214-246)."""
     ds = TrainingPatchDataset(
@@ -209,6 +219,7 @@ def make_training_patch_dataset(
         batch_size=batch_size,
         seed=seed,
         shuffle_buffer=shuffle_buffer,
+        output_dtype=output_dtype,
     )
     return ds, ds.total_patches
 

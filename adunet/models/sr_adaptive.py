@@ -42,22 +42,30 @@ class AdaptiveSRUNet(nn.Module):
     residual_head_channels: int = 64
     dtype: Any = jnp.float32
     remat: bool = False
+    # Pallas tap-paired conv for the C=64 levels (adunet/kernels/conv64.py);
+    # per-shape support gating + XLA fallback happen inside the op.
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         inputs = x
         block_cls = nn.remat(ConvBlock) if self.remat else ConvBlock
 
+        def block(nf, name):
+            return block_cls(
+                nf, norm="layer", dtype=self.dtype, pallas_conv=self.pallas_conv, name=name
+            )
+
         h = x.astype(self.dtype)
         skips = []
         nf = self.base_channels
         for level in range(self.depth):
-            skip = block_cls(nf, norm="layer", dtype=self.dtype, name=f"enc{level}")(h)
+            skip = block(nf, f"enc{level}")(h)
             h = resize_by_scale(skip, self.scale)  # fractional shrink, dtype-preserving
             skips.append(skip)
             nf *= 2
 
-        h = block_cls(nf, norm="layer", dtype=self.dtype, name="bottleneck")(h)
+        h = block(nf, "bottleneck")(h)
 
         for level, skip in reversed(list(enumerate(skips))):
             nf //= 2
@@ -65,9 +73,9 @@ class AdaptiveSRUNet(nn.Module):
             # post-resize conv+ReLU cleans up resampling artifacts before fusion
             h = nn.relu(conv3x3(nf, self.dtype, name=f"dec{level}_smooth")(h))
             h = jnp.concatenate([h, skip], axis=-1)
-            h = block_cls(nf, norm="layer", dtype=self.dtype, name=f"dec{level}")(h)
+            h = block(nf, f"dec{level}")(h)
 
-        h = block_cls(self.residual_head_channels, norm="layer", dtype=self.dtype, name="head")(h)
+        h = block(self.residual_head_channels, "head")(h)
         residual = nn.Conv(
             3,
             (1, 1),
@@ -91,6 +99,7 @@ def build_super_resolution_unet(
     max_depth: int = 7,
     dtype: Any = jnp.float32,
     remat: bool = False,
+    pallas_conv: bool = False,
 ) -> Tuple[AdaptiveSRUNet, Dict[str, object]]:
     """Resolve depth and construct the module — mirrors the reference builder's
     signature and info payload (train_adaptive_unet.py:217-287)."""
@@ -106,6 +115,7 @@ def build_super_resolution_unet(
         residual_head_channels=residual_head_channels,
         dtype=dtype,
         remat=remat,
+        pallas_conv=pallas_conv,
     )
     info = {
         "scale": scale,

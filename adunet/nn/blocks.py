@@ -22,9 +22,33 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvBlock", "conv3x3", "conv1x1"]
+__all__ = ["ConvBlock", "PallasConv3x3", "conv3x3", "conv1x1"]
 
 _glorot = nn.initializers.glorot_uniform()
+
+
+class PallasConv3x3(nn.Module):
+    """Drop-in 3x3 SAME conv with the tap-paired Pallas kernel fast path.
+
+    Parameter tree (kernel/bias, same shapes/init as nn.Conv) is identical to
+    the ``conv3x3`` it replaces, so checkpoints and the Keras-parity weight
+    mapping are unaffected. Unsupported shapes fall back to the XLA conv
+    inside ``conv3x3_same``.
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kernel = self.param("kernel", _glorot, (3, 3, in_ch, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        from adunet.kernels.conv64 import conv3x3_same
+
+        return conv3x3_same(
+            x.astype(self.dtype), kernel.astype(self.dtype), bias.astype(self.dtype)
+        )
 
 
 def conv3x3(features: int, dtype: Any = jnp.float32, name: str | None = None, **kw) -> nn.Conv:
@@ -71,11 +95,17 @@ class ConvBlock(nn.Module):
     norm: str = "layer"  # "layer" | "batch" | "none"
     dtype: Any = jnp.float32
     fused_norm: bool = False
+    # Pallas tap-paired implicit-GEMM conv for the C=64 levels (conv64.py);
+    # unsupported shapes fall back to the XLA conv automatically.
+    pallas_conv: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(2):
-            x = conv3x3(self.features, self.dtype, name=f"conv{i}")(x)
+            if self.pallas_conv:
+                x = PallasConv3x3(self.features, self.dtype, name=f"conv{i}")(x)
+            else:
+                x = conv3x3(self.features, self.dtype, name=f"conv{i}")(x)
             if self.norm == "layer":
                 # Keras LayerNormalization(axis=-1): eps 1e-3, learnable scale+bias.
                 if self.fused_norm:

@@ -39,6 +39,17 @@ __all__ = [
 DATA_LR_SHRINK = 0.5
 
 
+def _as_f01(x: jax.Array) -> jax.Array:
+    """Normalise a host batch on device: uint8 wire format -> [0,1] f32.
+
+    Shipping uint8 quarters host->device transfer volume (images are uint8
+    at the source); the cast+scale fuses into the step's first op.
+    """
+    if x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) * (1.0 / 255.0)
+    return x
+
+
 def _lr_hr_of(batch, data_scale: float) -> Tuple[jax.Array, jax.Array]:
     """Resolve a batch into (lr, hr).
 
@@ -46,12 +57,13 @@ def _lr_hr_of(batch, data_scale: float) -> Tuple[jax.Array, jax.Array]:
     (the reference's main path); an ``(lr, hr)`` tuple carries real LR pixels
     from a paired directory (the reference's --low_res_dir alt path,
     train_adaptive_unet.py:123-197). The branch resolves at trace time — the
-    two layouts are distinct XLA programs.
+    two layouts are distinct XLA programs. uint8 batches normalise on device.
     """
     if isinstance(batch, (tuple, list)):
         lr_batch, hr_batch = batch
-        return lr_batch, hr_batch
-    return degrade(batch, data_scale, batch.shape[-2]), batch
+        return _as_f01(lr_batch), _as_f01(hr_batch)
+    hr_batch = _as_f01(batch)
+    return degrade(hr_batch, data_scale, hr_batch.shape[-2]), hr_batch
 
 
 def sr_loss_and_metrics(loss_fn, hr, pred) -> Tuple[jax.Array, Dict[str, jax.Array]]:

@@ -181,3 +181,43 @@ def test_scale_jitter_crop_matches_tf_resize_then_crop():
     resized = tf.image.resize(img[None], [scaled, scaled], method="bilinear").numpy()[0]
     theirs = resized[oy : oy + size, ox : ox + size]
     np.testing.assert_allclose(ours, theirs, atol=2e-6)
+
+
+def test_training_patch_dataset_uint8_wire_format(png_dataset):
+    from adunet.data import TrainingPatchDataset
+
+    files = find_images(png_dataset, ".png")
+    ds = TrainingPatchDataset(
+        files, patch_size=32, patches_per_image=2, scale=0.5,
+        batch_size=4, seed=3, shuffle_buffer=8, output_dtype="uint8",
+    )
+    batch = next(iter(ds))
+    assert batch.dtype == np.uint8
+    assert batch.shape == (4, 32, 32, 3)
+    assert batch.max() > 1  # actually uint8-scaled
+
+
+def test_sr_step_normalises_uint8_on_device(png_dataset):
+    """uint8 batches train identically to their f32/255 counterparts."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.losses import charbonnier_loss
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer, make_sr_train_step
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-3)
+    )
+    rng = np.random.default_rng(0)
+    u8 = (rng.random((4, 32, 32, 3)) * 255).astype(np.uint8)
+    f32 = u8.astype(np.float32) / 255.0
+
+    step = make_sr_train_step(model, charbonnier_loss, donate=False)
+    _, m_u8 = step(state, jnp.asarray(u8), None)
+    _, m_f32 = step(state, jnp.asarray(f32), None)
+    assert float(m_u8["loss"]) == pytest.approx(float(m_f32["loss"]), rel=1e-6)
