@@ -152,12 +152,24 @@ def fit(
         log_dir.mkdir(parents=True, exist_ok=True)
 
     train_it = iter(train_iter)
-    next_batch = None  # carried across epochs so exactly one extra pull total
 
     def put(batch):
         if mesh is not None:
             return shard_batch(batch, mesh)
         return batch
+
+    # Host pipeline: pull + device_put the next batch from a transfer thread
+    # while the dispatched step computes. device_put can block its calling
+    # thread (e.g. over a remote-TPU transfer tunnel), so the overlap must
+    # come from a thread, not just async dispatch.
+    from concurrent.futures import ThreadPoolExecutor
+
+    transfer_pool = ThreadPoolExecutor(max_workers=1)
+
+    def stage_next():
+        return transfer_pool.submit(lambda: put(next(train_it)))
+
+    pending_batch = None  # future carried across epochs: one extra pull total
 
     def batch_size_of(batch) -> int:
         leaf = jax.tree_util.tree_leaves(batch)[0]
@@ -171,16 +183,14 @@ def fit(
         t0 = time.perf_counter()
         images_seen = 0
         acc = None  # metric sums stay on device; one host sync per epoch
-        # single-step device prefetch: put() the next batch while the current
-        # step executes (dispatch is async, so the transfer overlaps compute)
-        if next_batch is None:
-            next_batch = put(next(train_it))
+        if pending_batch is None:
+            pending_batch = stage_next()
         for _ in range(steps_per_epoch):
-            batch = next_batch
+            batch = pending_batch.result()
+            pending_batch = stage_next()
             rng, step_rng = jax.random.split(rng)
             images_seen += samples_per_step or batch_size_of(batch)
             state, metrics = train_step(state, batch, step_rng)
-            next_batch = put(next(train_it))
             acc = (
                 metrics
                 if acc is None
@@ -302,6 +312,7 @@ def fit(
 
     if csv_file is not None:
         csv_file.close()
+    transfer_pool.shutdown(wait=False, cancel_futures=True)
 
     return FitResult(
         state=state,
