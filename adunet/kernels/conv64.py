@@ -2,8 +2,8 @@
 
 Why: the reference architecture's base_channels=64 is half the 128-wide MXU
 lane dimension, and XLA's native conv runs the FLOP-dominant 256px 64->64
-layers at ~17% of peak (PERF.md microbench table). This kernel reformulates
-the conv as tap-paired implicit GEMMs:
+layers well below the N=64 envelope (PERF.md). This kernel reformulates the
+conv as tap-paired implicit GEMMs:
 
     out[m, co] = sum_{t=0..8} X_t[m, ci] @ W_t[ci, co]
 
@@ -11,8 +11,12 @@ Two taps are stacked along the contraction dim — ``[X_a | X_b] @ [[W_a],[W_b]]
 computes the exact two-tap partial sum with K=128 (full MXU depth) and ZERO
 wasted FLOPs, unlike the block-diagonal batch-packing (2x FLOP tax, measured
 dead end in round 1). The 9 taps become 4 K=128 GEMMs + 1 K=64 GEMM per
-tile, accumulated in f32 VMEM. Input rows + a 1-pixel halo are staged in
-VMEM per (batch, row-block) grid cell.
+tile, accumulated in f32 VMEM.
+
+Halo handling: Mosaic cannot DMA-slice a 64-lane window out of a 128-tiled
+HBM buffer, and BlockSpec blocks cannot overlap — so the 1-row top/bottom
+halos are precomputed in XLA as separate (B, n_blocks, W, C) arrays and
+delivered through their own aligned BlockSpecs.
 
 Numerics: bf16 operands, f32 accumulation — bit-comparable to XLA's
 ``lax.conv_general_dilated`` with ``preferred_element_type=f32``.
@@ -30,7 +34,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -61,31 +64,25 @@ def supported(x_shape, w_shape) -> bool:
     )
 
 
-def _kernel(x_hbm, w_ref, b_ref, out_ref, xbuf, acc, sem, *, block_h: int, width: int):
+def _kernel(x_ref, top_ref, bot_ref, w_ref, b_ref, out_ref, xbuf, acc,
+            *, block_h: int, width: int):
     """One (batch, row-block) grid cell.
 
-    x_hbm:  (B, H + 2, width, 64) in HBM — H-padded input; the (block_h + 2)
-            row window (1-row halo each side) is DMA'd manually because
-            BlockSpec blocks cannot overlap
-    w_ref:  (5, 128, 64) VMEM — tap-paired weights (last pair zero-padded)
-    b_ref:  (1, 64) VMEM
-    out_ref:(1, block_h, width, 64) VMEM
-    xbuf:   (block_h + 2, width + 2, 64) VMEM scratch — W-padded staging
-    acc:    (block_h * width, 64) f32 VMEM scratch
-    sem:    DMA semaphore
+    x_ref:   (1, block_h, width, 64) VMEM — this block's input rows
+    top_ref: (1, 1, width, 64) VMEM — the row above the block (zeros at h=0)
+    bot_ref: (1, 1, width, 64) VMEM — the row below (zeros at h=H-1)
+    w_ref:   (5, 128, 64) VMEM — tap-paired weights (last pair zero-padded)
+    b_ref:   (1, 64) VMEM
+    out_ref: (1, block_h, width, 64) VMEM
+    xbuf:    (block_h + 2, width + 2, 64) VMEM scratch — halo+W-padded stage
+    acc:     (block_h * width, 64) f32 VMEM scratch
     """
-    b = pl.program_id(0)
-    t = pl.program_id(1)
     # zero side columns so dx shifts become pure static slices
     xbuf[:, 0, :] = jnp.zeros((block_h + 2, 64), xbuf.dtype)
     xbuf[:, width + 1, :] = jnp.zeros((block_h + 2, 64), xbuf.dtype)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[b, pl.ds(t * block_h, block_h + 2)],
-        xbuf.at[:, pl.ds(1, width)],
-        sem,
-    )
-    dma.start()
-    dma.wait()
+    xbuf[0, 1 : width + 1, :] = top_ref[0, 0]
+    xbuf[1 : block_h + 1, 1 : width + 1, :] = x_ref[0]
+    xbuf[block_h + 1, 1 : width + 1, :] = bot_ref[0, 0]
 
     def tap_view(dy: int, dx: int):
         v = xbuf[dy : dy + block_h, dx : dx + width, :]
@@ -113,6 +110,19 @@ def _pack_weights(w: jax.Array) -> jax.Array:
     return jnp.stack(pairs + [last], axis=0)
 
 
+def _halo_rows(x: jax.Array, block_h: int):
+    """(top, bot): the row above/below each block, zeros outside the image."""
+    B, H, W, C = x.shape
+    n_blocks = H // block_h
+    top_idx = jnp.arange(n_blocks) * block_h - 1          # -1 -> zero row
+    bot_idx = jnp.arange(n_blocks) * block_h + block_h    # H  -> zero row
+    zero = jnp.zeros((B, 1, W, C), x.dtype)
+    xz = jnp.concatenate([x, zero], axis=1)               # row H == zeros
+    top = jnp.take(xz, jnp.where(top_idx < 0, H, top_idx), axis=1)
+    bot = jnp.take(xz, jnp.where(bot_idx >= H, H, bot_idx), axis=1)
+    return top, bot  # (B, n_blocks, W, C)
+
+
 def _interpret_mode() -> bool:
     """Pallas TPU kernels run interpreted off-TPU (tests on the CPU mesh)."""
     return jax.default_backend() != "tpu"
@@ -132,8 +142,7 @@ def conv3x3_same_pallas(
     if bias is None:
         bias = jnp.zeros((w.shape[-1],), dt)
 
-    # H halo handled once in HBM: one padded copy instead of per-block masks
-    xp = jnp.pad(x, ((0, 0), (1, 1), (0, 0), (0, 0)))
+    top, bot = _halo_rows(x, block_h)
     wp = _pack_weights(w.astype(dt))
     b2 = bias.reshape(1, 64).astype(dt)
 
@@ -142,7 +151,12 @@ def conv3x3_same_pallas(
         functools.partial(_kernel, block_h=block_h, width=W),
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # stays in HBM; manual DMA
+            pl.BlockSpec((1, block_h, W, 64), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 64), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, W, 64), lambda b, t: (b, t, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((5, 128, 64), lambda b, t: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64), lambda b, t: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -153,10 +167,9 @@ def conv3x3_same_pallas(
         scratch_shapes=[
             pltpu.VMEM((block_h + 2, W + 2, 64), dt),
             pltpu.VMEM((block_h * W, 64), jnp.float32),
-            pltpu.SemaphoreType.DMA,
         ],
         interpret=_interpret_mode(),
-    )(xp, wp, b2)
+    )(x, top, bot, wp, b2)
     return out
 
 
