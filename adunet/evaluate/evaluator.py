@@ -24,7 +24,6 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from adunet.data.sr_pipeline import GridPatchDataset
 from adunet.train.sr import make_sr_eval_step
 
 __all__ = [
