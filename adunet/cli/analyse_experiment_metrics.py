@@ -54,6 +54,9 @@ def _read_columns(csv_path: Path) -> Dict[str, List[float]]:
             raise ValueError(f"Epoch CSV {csv_path} has no header") from None
         columns: Dict[str, List[float]] = {name: [] for name in header}
         for record in reader:
+            # pad short records (e.g. a truncated final line) so every column
+            # stays row-aligned for the argmin below
+            record = list(record) + [""] * (len(header) - len(record))
             for name, cell in zip(header, record):
                 try:
                     columns[name].append(float(cell))
@@ -180,9 +183,10 @@ def plot_training_load(summaries: Sequence[RunSummary], output_dir: Path, dpi: i
 def write_summary_csv(summaries: Sequence[RunSummary], output_dir: Path) -> None:
     fields = ["label", "scale", "best_epoch", "best_val_loss", "best_val_psnr",
               "steps_per_epoch", "epoch_time_s", "ms_per_step"]
-    lines = [",".join(fields)]
-    lines += [",".join(str(getattr(s, f)) for f in fields) for s in summaries]
-    (Path(output_dir) / "run_summaries.csv").write_text("\n".join(lines) + "\n")
+    with (Path(output_dir) / "run_summaries.csv").open("w", newline="") as fh:
+        writer = csv.writer(fh)  # quotes labels containing commas
+        writer.writerow(fields)
+        writer.writerows([getattr(s, f) for f in fields] for s in summaries)
 
 
 def main() -> None:

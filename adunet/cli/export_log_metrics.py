@@ -105,19 +105,16 @@ def extract_epoch_rows(log_path: Path) -> List[Dict[str, float]]:
 
 def write_csv(rows: Iterable[Dict[str, float]], output_path: Path) -> None:
     """Serialise records under the reference CSV schema (blank = absent)."""
+    import csv
+
     rows = list(rows)
     if not rows:
         return
     output_path.parent.mkdir(parents=True, exist_ok=True)
-
-    def render(value: Optional[float]) -> str:
-        if value is None:
-            return ""
-        return repr(value) if isinstance(value, float) else str(value)
-
-    lines = [",".join(SCHEMA)]
-    lines.extend(",".join(render(row.get(col)) for col in SCHEMA) for row in rows)
-    output_path.write_text("\n".join(lines) + "\n", encoding="utf-8")
+    with output_path.open("w", newline="", encoding="utf-8") as fh:
+        writer = csv.writer(fh)
+        writer.writerow(SCHEMA)
+        writer.writerows([row.get(col, "") for col in SCHEMA] for row in rows)
 
 
 def process_logs(

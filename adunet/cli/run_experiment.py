@@ -27,6 +27,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                                  "tune_sr", "tune_seg"])
     parser.add_argument("--n_trials", type=int, default=20,
                         help="Trial budget for tune_sr/tune_seg experiments.")
+    parser.add_argument("--trial_epochs", type=int, default=10,
+                        help="Epochs per tuning trial (tune_sr/tune_seg); the sweep-level "
+                             "--epochs flag applies to training experiments only.")
     parser.add_argument("--mode", choices=["print", "run", "sbatch"], default="print")
     parser.add_argument("--high_res_dir", type=str, default=None)
     parser.add_argument("--train_images", type=str, default=None)
@@ -83,6 +86,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             argv_tune = [
                 "--workload", "sr",
                 "--n-trials", str(args.n_trials),
+                "--epochs", str(args.trial_epochs),
                 "--high-res-dir", args.high_res_dir,
                 "--image-suffix", args.image_suffix,
                 "--results", str(Path(args.log_dir) / "tune_sr_results.json"),
@@ -97,6 +101,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             argv_tune = [
                 "--workload", "seg",
                 "--n-trials", str(args.n_trials),
+                "--epochs", str(args.trial_epochs),
                 "--train-images", args.train_images,
                 "--train-masks", args.train_masks,
                 "--val-images", args.val_images,

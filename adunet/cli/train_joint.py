@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import math
 from datetime import datetime
 from pathlib import Path
 from typing import List, Optional
@@ -65,7 +64,7 @@ def train(args: argparse.Namespace) -> dict:
     from adunet.data.seg_pipeline import SegPairDataset
     from adunet.losses import charbonnier_loss, l1_loss, make_bce_dice_loss, make_weighted_ce_loss
     from adunet.models import build_joint_unet
-    from adunet.parallel import make_mesh, replicate
+    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -74,6 +73,8 @@ def train(args: argparse.Namespace) -> dict:
         make_joint_train_step,
         make_optimizer,
     )
+
+    maybe_initialize_distributed()
 
     train_pairs = discover_pairs(
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
@@ -91,6 +92,7 @@ def train(args: argparse.Namespace) -> dict:
     train_ds = SegPairDataset(
         train_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=False, shuffle=True, seed=args.seed, num_classes=args.num_classes,
+        drop_remainder=True,  # batches shard over the mesh: no ragged tails
     )
     val_ds = None
     if val_pairs:
@@ -98,7 +100,7 @@ def train(args: argparse.Namespace) -> dict:
             val_pairs, batch_size=args.batch_size, image_size=args.image_size,
             augment=False, shuffle=False, seed=args.seed, num_classes=args.num_classes,
         )
-    steps_per_epoch = math.ceil(len(train_pairs) / args.batch_size)
+    steps_per_epoch = train_ds.steps_per_epoch
 
     dtype = jnp.bfloat16 if args.mixed_precision else jnp.float32
     model, info = build_joint_unet(

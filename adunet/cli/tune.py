@@ -60,7 +60,7 @@ def _sr_objective_factory(args):
     import jax.numpy as jnp
     import numpy as np
 
-    from adunet.data import ArrayDataset, find_images, load_image_stack, load_rgb_image
+    from adunet.data import ArrayDataset, find_images, load_rgb_image, pair_lr_files
     from adunet.losses import build_losses_and_metrics, make_perceptual_fn
     from adunet.models import VanillaSRUNet
     from adunet.ops import degrade
@@ -77,9 +77,10 @@ def _sr_objective_factory(args):
     hr_paths = find_images(args.high_res_dir, args.image_suffix, args.limit)
     hr_images = np.stack([load_rgb_image(p, args.image_size) for p in hr_paths])
     if args.low_res_dir:
-        lr_images = load_image_stack(args.low_res_dir, args.image_size, limit=args.limit)
-        if lr_images.shape != hr_images.shape:
-            raise ValueError("HR and LR stacks must align one-to-one.")
+        # pair by filename — a same-count directory listing is not evidence
+        # of alignment (hard-errors on missing counterparts)
+        lr_paths = pair_lr_files(hr_paths, args.low_res_dir)
+        lr_images = np.stack([load_rgb_image(p, args.image_size) for p in lr_paths])
     else:
         lr_images = np.asarray(
             jax.jit(jax.vmap(lambda h: degrade(h, 0.5, args.image_size)))(jnp.asarray(hr_images))

@@ -42,6 +42,7 @@ class SegPairDataset:
         seed: int,
         prefetch_batches: int = 4,
         num_classes: int = 1,
+        drop_remainder: bool = False,
     ):
         pairs = list(pairs)
         if not pairs:
@@ -54,8 +55,14 @@ class SegPairDataset:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.num_classes = num_classes
+        # drop_remainder keeps every batch the compiled shape — required when
+        # batches are sharded over a mesh (a ragged tail cannot be split N ways)
+        self.drop_remainder = drop_remainder and len(pairs) >= batch_size
         self._epoch = 0
-        self.steps_per_epoch = math.ceil(len(pairs) / batch_size)
+        if self.drop_remainder:
+            self.steps_per_epoch = len(pairs) // batch_size
+        else:
+            self.steps_per_epoch = math.ceil(len(pairs) / batch_size)
 
     def __len__(self) -> int:
         return len(self.pairs)
@@ -81,7 +88,7 @@ class SegPairDataset:
             if len(images) == self.batch_size:
                 yield np.stack(images), np.stack(masks)
                 images, masks = [], []
-        if images:
+        if images and not self.drop_remainder:
             yield np.stack(images), np.stack(masks)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:

@@ -171,148 +171,152 @@ def fit(
 
     pending_batch = None  # future carried across epochs: one extra pull total
 
-    def batch_size_of(batch) -> int:
-        leaf = jax.tree_util.tree_leaves(batch)[0]
-        return int(leaf.shape[0])
+    # the transfer thread must not outlive fit() on ANY exit path
+    try:
 
-    for epoch in range(initial_epoch, epochs):
-        # first-class profiling (the reference disabled its profiler and
-        # scraped logs instead — SURVEY.md §5): trace the first epoch
-        if profile_dir is not None and epoch == initial_epoch:
-            jax.profiler.start_trace(str(profile_dir))
-        t0 = time.perf_counter()
-        images_seen = 0
-        acc = None  # metric sums stay on device; one host sync per epoch
-        if pending_batch is None:
-            pending_batch = stage_next()
-        for _ in range(steps_per_epoch):
-            batch = pending_batch.result()
-            pending_batch = stage_next()
-            rng, step_rng = jax.random.split(rng)
-            images_seen += samples_per_step or batch_size_of(batch)
-            state, metrics = train_step(state, batch, step_rng)
-            acc = (
-                metrics
-                if acc is None
-                else jax.tree_util.tree_map(lambda a, b: a + b, acc, metrics)
-            )
-        jax.block_until_ready(acc)
-        duration = time.perf_counter() - t0
-        if profile_dir is not None and epoch == initial_epoch:
-            try:
-                jax.profiler.stop_trace()
-            except Exception:
-                pass
-        train_metrics = {
-            k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
-        }
+        def batch_size_of(batch) -> int:
+            leaf = jax.tree_util.tree_leaves(batch)[0]
+            return int(leaf.shape[0])
 
-        val_metrics: Dict[str, float] = {}
-        if val_data is not None and val_step is not None:
-            vdicts: List[Dict[str, float]] = []
-            vweights: List[float] = []
-            for vbatch in val_data:
-                n = batch_size_of(vbatch)
-                # val batches can be ragged (grid tiling) — replicate instead
-                # of batch-sharding so any size works on any mesh
-                if mesh is not None:
-                    vbatch = jax.tree_util.tree_map(
-                        lambda x: jax.device_put(x, _replicated(mesh)), vbatch
-                    )
-                out = val_step(state, vbatch)
-                vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
-                vweights.append(n)
-            val_metrics = _mean_of(vdicts, vweights)
+        for epoch in range(initial_epoch, epochs):
+            # first-class profiling (the reference disabled its profiler and
+            # scraped logs instead — SURVEY.md §5): trace the first epoch
+            if profile_dir is not None and epoch == initial_epoch:
+                jax.profiler.start_trace(str(profile_dir))
+            t0 = time.perf_counter()
+            images_seen = 0
+            acc = None  # metric sums stay on device; one host sync per epoch
+            if pending_batch is None:
+                pending_batch = stage_next()
+            for _ in range(steps_per_epoch):
+                batch = pending_batch.result()
+                pending_batch = stage_next()
+                rng, step_rng = jax.random.split(rng)
+                images_seen += samples_per_step or batch_size_of(batch)
+                state, metrics = train_step(state, batch, step_rng)
+                acc = (
+                    metrics
+                    if acc is None
+                    else jax.tree_util.tree_map(lambda a, b: a + b, acc, metrics)
+                )
+            jax.block_until_ready(acc)
+            duration = time.perf_counter() - t0
+            if profile_dir is not None and epoch == initial_epoch:
+                try:
+                    jax.profiler.stop_trace()
+                except Exception:
+                    pass
+            train_metrics = {
+                k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
+            }
 
-        log = EpochLog(
-            epoch=epoch + 1,
-            steps=steps_per_epoch,
-            duration_s=duration,
-            ms_per_step=1000.0 * duration / max(steps_per_epoch, 1),
-            metrics=train_metrics,
-            val_metrics=val_metrics,
-        )
-        history.append(log)
-
-        if verbose:
-            parts = [f"{k}: {v:.4f}" for k, v in train_metrics.items()]
-            parts += [f"val_{k}: {v:.4f}" for k, v in val_metrics.items()]
-            ips = images_seen / duration
-            print(
-                f"Epoch {epoch + 1}/{epochs} - {duration:.1f}s - "
-                f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts),
-                flush=True,
-            )
-
-        if log_dir is not None:
-            row = log.row()
-            if csv_writer is None:
-                csv_file = open(log_dir / "epoch_metrics.csv", "a", newline="")
-                csv_writer = csv.DictWriter(csv_file, fieldnames=list(row.keys()))
-                if csv_file.tell() == 0:
-                    csv_writer.writeheader()
-            csv_writer.writerow(row)
-            csv_file.flush()
-        if tb_writer is not None:
-            for k, v in train_metrics.items():
-                tb_writer.add_scalar(f"train/{k}", v, epoch + 1)
-            for k, v in val_metrics.items():
-                tb_writer.add_scalar(f"val/{k}", v, epoch + 1)
-            tb_writer.add_scalar("perf/ms_per_step", log.ms_per_step, epoch + 1)
-            tb_writer.add_scalar("perf/images_per_sec", images_seen / duration, epoch + 1)
-
-        monitored_pool = {**train_metrics, **{f"val_{k}": v for k, v in val_metrics.items()}}
-        current = monitored_pool.get(monitor)
-
-        if rlp is not None:
-            rlp_current = monitored_pool.get(rlp["monitor"])
-            if rlp_current is not None:
-                if _improved(rlp_current, rlp["best"], rlp["mode"]):
-                    rlp["best"] = rlp_current
-                    rlp["wait"] = 0
-                else:
-                    rlp["wait"] += 1
-                    if rlp["wait"] >= rlp["patience"]:
-                        state = _scale_injected_lr(state, rlp["factor"], rlp["min_lr"])
-                        rlp["wait"] = 0
-                        if verbose:
-                            new_lr = float(
-                                np.asarray(state.opt_state.hyperparams["learning_rate"])
-                            )
-                            print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
-
-        if ckpt is not None:
-            ckpt.save(epoch + 1, state, metrics=monitored_pool)
-
-        if current is not None:
-            if _improved(current, best_metric, monitor_mode):
-                best_metric = current
-                best_epoch = epoch + 1
-                wait = 0
-                if restore_best_weights:
-                    best_params_host = jax.device_get(state.params)
-                    if state.batch_stats is not None:
-                        best_stats_host = jax.device_get(state.batch_stats)
-            else:
-                wait += 1
-                if patience is not None and patience > 0 and wait >= patience:
-                    stopped_early = True
-                    if verbose:
-                        print(
-                            f"Early stopping at epoch {epoch + 1} "
-                            f"(best {monitor}={best_metric:.4f} @ epoch {best_epoch}).",
-                            flush=True,
+            val_metrics: Dict[str, float] = {}
+            if val_data is not None and val_step is not None:
+                vdicts: List[Dict[str, float]] = []
+                vweights: List[float] = []
+                for vbatch in val_data:
+                    n = batch_size_of(vbatch)
+                    # val batches can be ragged (grid tiling) — replicate instead
+                    # of batch-sharding so any size works on any mesh
+                    if mesh is not None:
+                        vbatch = jax.tree_util.tree_map(
+                            lambda x: jax.device_put(x, _replicated(mesh)), vbatch
                         )
-                    break
+                    out = val_step(state, vbatch)
+                    vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
+                    vweights.append(n)
+                val_metrics = _mean_of(vdicts, vweights)
 
-    if restore_best_weights and best_params_host is not None:
-        state = state.replace(params=jax.device_put(best_params_host))
-        if best_stats_host is not None:
-            state = state.replace(batch_stats=jax.device_put(best_stats_host))
+            log = EpochLog(
+                epoch=epoch + 1,
+                steps=steps_per_epoch,
+                duration_s=duration,
+                ms_per_step=1000.0 * duration / max(steps_per_epoch, 1),
+                metrics=train_metrics,
+                val_metrics=val_metrics,
+            )
+            history.append(log)
 
-    if csv_file is not None:
-        csv_file.close()
-    transfer_pool.shutdown(wait=False, cancel_futures=True)
+            if verbose:
+                parts = [f"{k}: {v:.4f}" for k, v in train_metrics.items()]
+                parts += [f"val_{k}: {v:.4f}" for k, v in val_metrics.items()]
+                ips = images_seen / duration
+                print(
+                    f"Epoch {epoch + 1}/{epochs} - {duration:.1f}s - "
+                    f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts),
+                    flush=True,
+                )
+
+            if log_dir is not None:
+                row = log.row()
+                if csv_writer is None:
+                    csv_file = open(log_dir / "epoch_metrics.csv", "a", newline="")
+                    csv_writer = csv.DictWriter(csv_file, fieldnames=list(row.keys()))
+                    if csv_file.tell() == 0:
+                        csv_writer.writeheader()
+                csv_writer.writerow(row)
+                csv_file.flush()
+            if tb_writer is not None:
+                for k, v in train_metrics.items():
+                    tb_writer.add_scalar(f"train/{k}", v, epoch + 1)
+                for k, v in val_metrics.items():
+                    tb_writer.add_scalar(f"val/{k}", v, epoch + 1)
+                tb_writer.add_scalar("perf/ms_per_step", log.ms_per_step, epoch + 1)
+                tb_writer.add_scalar("perf/images_per_sec", images_seen / duration, epoch + 1)
+
+            monitored_pool = {**train_metrics, **{f"val_{k}": v for k, v in val_metrics.items()}}
+            current = monitored_pool.get(monitor)
+
+            if rlp is not None:
+                rlp_current = monitored_pool.get(rlp["monitor"])
+                if rlp_current is not None:
+                    if _improved(rlp_current, rlp["best"], rlp["mode"]):
+                        rlp["best"] = rlp_current
+                        rlp["wait"] = 0
+                    else:
+                        rlp["wait"] += 1
+                        if rlp["wait"] >= rlp["patience"]:
+                            state = _scale_injected_lr(state, rlp["factor"], rlp["min_lr"])
+                            rlp["wait"] = 0
+                            if verbose:
+                                new_lr = float(
+                                    np.asarray(state.opt_state.hyperparams["learning_rate"])
+                                )
+                                print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
+
+            if ckpt is not None:
+                ckpt.save(epoch + 1, state, metrics=monitored_pool)
+
+            if current is not None:
+                if _improved(current, best_metric, monitor_mode):
+                    best_metric = current
+                    best_epoch = epoch + 1
+                    wait = 0
+                    if restore_best_weights:
+                        best_params_host = jax.device_get(state.params)
+                        if state.batch_stats is not None:
+                            best_stats_host = jax.device_get(state.batch_stats)
+                else:
+                    wait += 1
+                    if patience is not None and patience > 0 and wait >= patience:
+                        stopped_early = True
+                        if verbose:
+                            print(
+                                f"Early stopping at epoch {epoch + 1} "
+                                f"(best {monitor}={best_metric:.4f} @ epoch {best_epoch}).",
+                                flush=True,
+                            )
+                        break
+
+        if restore_best_weights and best_params_host is not None:
+            state = state.replace(params=jax.device_put(best_params_host))
+            if best_stats_host is not None:
+                state = state.replace(batch_stats=jax.device_put(best_stats_host))
+
+        if csv_file is not None:
+            csv_file.close()
+    finally:
+        transfer_pool.shutdown(wait=False, cancel_futures=True)
 
     return FitResult(
         state=state,

@@ -80,3 +80,58 @@ def test_plot_experiment_metrics_schema(tmp_path):
     header = path.read_text().splitlines()[0]
     assert header == ("scale,psnr_mean,psnr_std,ssim_mean,ssim_std,"
                       "msssim_mean,msssim_std,mse_mean,mse_std,samples")
+
+
+def test_summarize_run_tolerates_truncated_final_row(tmp_path):
+    """A CSV whose last line was cut mid-write must keep columns row-aligned
+    (short rows pad with NaN rather than shifting values)."""
+    from adunet.cli.analyse_experiment_metrics import summarize_run
+
+    run_dir = tmp_path / "run_scale0.50"
+    run_dir.mkdir()
+    (run_dir / "epoch_metrics.csv").write_text(
+        "epoch,steps,duration_s,ms_per_step,loss,psnr,val_loss,val_psnr\n"
+        "1,3,1.0,333,0.05,20.0,0.04,21.0\n"
+        "2,3,1.0,333,0.03,22.0,0.02,23.0\n"
+        "3,3,1.0\n"  # truncated mid-write
+    )
+    s = summarize_run(run_dir / "epoch_metrics.csv")
+    assert s.best_epoch == 2
+    assert s.best_val_psnr == 23.0
+
+
+def test_summary_csv_quotes_labels_with_commas(tmp_path):
+    from adunet.cli.analyse_experiment_metrics import RunSummary, write_summary_csv
+    import csv as _csv
+
+    s = RunSummary(label="exp,weird", scale=0.5, best_epoch=1, best_val_loss=0.1,
+                   best_val_psnr=30.0, steps_per_epoch=3, epoch_time_s=1.0,
+                   ms_per_step=300.0)
+    write_summary_csv([s], tmp_path)
+    with (tmp_path / "run_summaries.csv").open() as fh:
+        rows = list(_csv.reader(fh))
+    assert rows[1][0] == "exp,weird" and float(rows[1][1]) == 0.5
+
+
+def test_seg_pair_dataset_drop_remainder(tmp_path):
+    import numpy as np
+
+    from adunet.data.seg_pipeline import SegPairDataset
+
+    pairs = []
+    for i in range(10):
+        img = tmp_path / f"i{i}.npy"
+        msk = tmp_path / f"i{i}_mask.npy"
+        np.save(img, np.zeros((8, 8, 3), np.float32))
+        np.save(msk, np.zeros((8, 8), np.float32))
+        pairs.append((str(img), str(msk)))
+
+    ds = SegPairDataset(pairs, batch_size=4, image_size=8, augment=False,
+                        shuffle=False, seed=0, drop_remainder=True)
+    sizes = [b[0].shape[0] for b in ds]
+    assert sizes == [4, 4]  # ragged tail of 2 dropped
+    assert ds.steps_per_epoch == 2
+
+    ds2 = SegPairDataset(pairs, batch_size=4, image_size=8, augment=False,
+                         shuffle=False, seed=0)
+    assert [b[0].shape[0] for b in ds2] == [4, 4, 2]
