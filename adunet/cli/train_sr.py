@@ -59,6 +59,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         help="Checkpoint directory to resume from (Orbax root).")
     parser.add_argument("--initial_epoch", type=int, default=0)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--model_shards", type=int, default=1,
+                        help="Channel (tensor) parallelism degree: wide conv kernels shard "
+                             "their output-channel dim over a 'model' mesh axis — for the "
+                             "138M-param depth-5 configs whose replicated params+Adam state "
+                             "pressure per-chip HBM.")
     parser.add_argument("--preview_patches", type=int, default=3)
     parser.add_argument("--uint8_feed", action="store_true",
                         help="Stream HR patches as uint8 and normalise on device "
@@ -188,17 +193,28 @@ def train(cfg) -> dict:
         perceptual_fn = make_perceptual_fn(input_size=cfg.patch_size, dtype=dtype)
     loss_fn, _metrics = build_losses_and_metrics(cfg.loss, perceptual_fn=perceptual_fn)
 
-    mesh = make_mesh(cfg.n_devices)
+    if cfg.model_shards > 1:
+        from adunet.parallel import make_dp_model_mesh, shard_state
+
+        mesh = make_dp_model_mesh(cfg.model_shards, cfg.n_devices)
+    else:
+        mesh = make_mesh(cfg.n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
-    if cfg.batch_size % n_dev != 0:
+    dp_size = mesh.shape["data"]
+    if cfg.batch_size % dp_size != 0:
         raise ValueError(
-            f"batch_size={cfg.batch_size} must be divisible by the {n_dev}-device mesh; "
-            "pass --n_devices or adjust --batch_size."
+            f"batch_size={cfg.batch_size} must be divisible by the data axis ({dp_size}); "
+            "pass --n_devices/--model_shards or adjust --batch_size."
         )
 
     sample = jnp.zeros((cfg.batch_size, cfg.patch_size, cfg.patch_size, 3), jnp.float32)
     state = create_train_state(model, jax.random.key(cfg.seed), sample[:1], make_optimizer(cfg.learning_rate))
-    state = replicate(state, mesh)
+    def place(st):
+        if cfg.model_shards > 1:
+            return shard_state(st, mesh)
+        return replicate(st, mesh)
+
+    state = place(state)
 
     # params summary (model_summary.txt equivalent)
     n_params = sum(int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params))
@@ -248,7 +264,7 @@ def train(cfg) -> dict:
         restored = resume_mngr.restore_latest(state)
         if restored is None:
             raise FileNotFoundError(f"--resume_from {cfg.resume_from} contains no checkpoints.")
-        state = replicate(restored, mesh)
+        state = place(restored)
         last_step = resume_mngr.latest_step() or 0
         if initial_epoch == 0:
             initial_epoch = int(last_step)
@@ -257,7 +273,7 @@ def train(cfg) -> dict:
         # BackupAndRestore semantics (reference train_adaptive_unet.py:613-620):
         # a crashed/preempted run restarted with the same dirs auto-resumes.
         restored = ckpt.restore_latest(state)
-        state = replicate(restored, mesh)
+        state = place(restored)
         initial_epoch = int(ckpt.latest_step())
         print(f"[info] auto-resume from existing checkpoints at epoch {initial_epoch}.")
     elif initial_epoch > 0:

@@ -66,6 +66,8 @@ class SRTrainConfig:
     consistent_degradation: bool = False
     remat: bool = False
     n_devices: Optional[int] = None  # None = all visible devices
+    # channel (tensor) parallelism degree over a 'model' mesh axis
+    model_shards: int = 1
     profile: bool = False
     # step-0 TensorBoard preview image count (reference train_adaptive_unet.py:572)
     preview_patches: int = 3

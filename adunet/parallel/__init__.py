@@ -9,11 +9,21 @@ from adunet.parallel.mesh import (
     shard_batch,
     replicate,
 )
+from adunet.parallel.partition import (
+    make_dp_model_mesh,
+    channel_partition_spec,
+    shard_params,
+    shard_state,
+)
 
 __all__ = [
     "maybe_initialize_distributed",
     "make_mesh",
     "make_dp_spatial_mesh",
+    "make_dp_model_mesh",
+    "channel_partition_spec",
+    "shard_params",
+    "shard_state",
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",
