@@ -113,6 +113,7 @@ def fit(
     profile_dir: Optional[str | Path] = None,
     verbose: int = 1,
     tb_writer=None,
+    stop_on_nan: bool = True,
 ) -> FitResult:
     """Run the training loop.
 
@@ -209,6 +210,18 @@ def fit(
             train_metrics = {
                 k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
             }
+
+            # failure detection: a non-finite mean loss means the run is
+            # diverged/poisoned — stop before checkpointing the bad state
+            # (costs nothing: the epoch mean is already on host)
+            if stop_on_nan and not np.isfinite(train_metrics.get("loss", 0.0)):
+                print(
+                    f"[fit] non-finite training loss at epoch {epoch + 1}; "
+                    "stopping (set stop_on_nan=False to disable).",
+                    flush=True,
+                )
+                stopped_early = True
+                break
 
             val_metrics: Dict[str, float] = {}
             if val_data is not None and val_step is not None:

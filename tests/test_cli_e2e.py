@@ -280,3 +280,45 @@ def test_train_sr_paired_lr_dir(tmp_path):
     assert cfg["low_res_mode"] == "paired_directory"
     rows = (log_dir / "paired" / "epoch_metrics.csv").read_text().strip().splitlines()
     assert len(rows) == 3  # header + 2 epochs
+
+
+def test_restore_cli(tiny_dataset, tmp_path):
+    """Batch restoration: tile->predict->stitch over arbitrary-size inputs
+    (capability the reference never shipped — run a trained model on images)."""
+    from adunet.cli.restore import main as restore_main, _tile_starts, _blend_weights
+    from adunet.cli.train_sr import main as train_main
+
+    train_main([
+        "--scale", "0.5", "--depth_override", "1",
+        "--base_channels", "8", "--residual_head_channels", "8",
+        "--patch_size", "32", "--patches_per_image", "1",
+        "--batch_size", "8", "--epochs", "1", "--patience", "5",
+        "--high_res_dir", str(tiny_dataset), "--image_suffix", ".npy",
+        "--model_dir", str(tmp_path / "models"), "--log_dir", str(tmp_path / "logs"),
+        "--run_name", "restore_src",
+    ])
+
+    # tiling math: full cover, right-aligned tail, overlap respected
+    assert _tile_starts(48, 32, 8) == [0, 16]
+    assert _tile_starts(32, 32, 8) == [0]
+    assert _tile_starts(100, 32, 8) == [0, 24, 48, 68]
+    w = _blend_weights(32, 8)
+    assert w.shape == (32, 32) and w.max() <= 1.0 and w.min() > 0.0
+
+    out_dir = tmp_path / "restored"
+    restore_main([
+        "--model-path", str(tmp_path / "models" / "unet_adaptive_scale0.50_depth1"),
+        "--scale", "0.5",
+        "--input-dir", str(tiny_dataset),
+        "--image-suffix", ".npy",
+        "--patch-size", "32", "--overlap", "8", "--batch-size", "4",
+        "--output-dir", str(out_dir),
+        "--limit", "2",
+    ])
+    outputs = sorted(out_dir.iterdir())
+    assert len(outputs) == 2
+    # zero-init-head model => restored output ~= degraded input, finite, in range
+    arr = (np.asarray(__import__("cv2").imread(str(outputs[0]))[..., ::-1], np.float32) / 255.0
+           if outputs[0].suffix == ".png" else np.load(outputs[0]))
+    assert arr.shape == (48, 48, 3)
+    assert np.isfinite(arr).all() and 0.0 <= arr.min() and arr.max() <= 1.0

@@ -248,3 +248,38 @@ def test_perceptual_term_golden_pinned():
     b = jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32))
     term = float(jnp.mean(jnp.square(fn(a) - fn(b))))
     assert term == pytest.approx(0.0670115128159523, rel=1e-4)
+
+
+def test_fit_stops_on_nonfinite_loss():
+    """Failure detection: a NaN epoch loss halts training before the bad
+    state reaches a checkpoint (stop_on_nan, default on)."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.train import fit
+    from adunet.train.state import TrainState
+    import optax
+
+    params = {"w": jnp.zeros((2,))}
+    state = TrainState.create(
+        apply_fn=lambda v, x: x, params=params, tx=optax.sgd(1e-2)
+    )
+
+    calls = {"n": 0}
+
+    def bad_step(state, batch, rng):
+        calls["n"] += 1
+        loss = jnp.float32(jnp.nan) if calls["n"] > 2 else jnp.float32(1.0)
+        return state, {"loss": loss}
+
+    def batches():
+        while True:
+            yield np.zeros((2, 2), np.float32)
+
+    result = fit(
+        state, batches(), bad_step, steps_per_epoch=2, epochs=5,
+        patience=None, verbose=0,
+    )
+    # epoch 1 fine (2 steps), epoch 2 contains the NaN -> stop
+    assert result.stopped_early
+    assert len(result.history) == 1
