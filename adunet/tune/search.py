@@ -232,9 +232,9 @@ class Study:
         self.n_warmup_steps = n_warmup_steps
         self.trials: List[Trial] = []
 
-    # internal median pruner over completed trials' intermediate curves
+    # internal pruners over completed trials' intermediate curves
     def _should_prune(self, trial: Trial) -> bool:
-        if self.pruner != "median" or not trial.intermediate:
+        if not trial.intermediate:
             return False
         step = max(trial.intermediate)
         if step < self.n_warmup_steps:
@@ -246,10 +246,27 @@ class Study:
         ]
         if len(history) < self.n_warmup_trials:
             return False
-        history_sorted = sorted(history)
-        median = history_sorted[len(history_sorted) // 2]
         current = trial.intermediate[step]
-        return current > median if self.direction == "minimize" else current < median
+        history_sorted = sorted(history, reverse=self.direction == "maximize")
+
+        if self.pruner == "median":
+            median = history_sorted[len(history_sorted) // 2]
+            return current > median if self.direction == "minimize" else current < median
+
+        if self.pruner == "hyperband":
+            # successive halving: at rung steps (eta^k - 1), survive only if
+            # inside the top 1/eta of completed trials at the same step
+            eta = 3
+            rung = 1
+            while rung - 1 < step:
+                rung *= eta
+            if step != rung - 1 and step != 0:
+                return False
+            cutoff_idx = max(0, len(history_sorted) // eta - 1)
+            cutoff = history_sorted[cutoff_idx]
+            return current > cutoff if self.direction == "minimize" else current < cutoff
+
+        return False  # pruner == "none"
 
     def optimize(
         self,

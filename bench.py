@@ -201,6 +201,44 @@ def main() -> None:
     if value is None:
         raise RuntimeError(f"bench failed at all batch sizes: {last_err}")
 
+    def run_seg_bench(batch_size: int = 32) -> float:
+        """Protocol-A seg step (BatchNorm U-Net, hybrid CE+Dice, on-device
+        augmentation) — the second workload's on-chip throughput. The
+        reference has no checked-in seg timing baseline (SURVEY §6), so this
+        reports an absolute img/s."""
+        from adunet.losses import make_hybrid_ce_dice_loss
+        from adunet.models import build_adaptive_depth_unet
+        from adunet.train import make_seg_train_step
+
+        seg_model = build_adaptive_depth_unet(256, base_channels=64, depth=4, dtype=jnp.bfloat16)
+        seg_state = create_train_state(
+            seg_model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-3)
+        )
+        raw_step = make_seg_train_step(
+            seg_model, make_hybrid_ce_dice_loss(0.4, 0.6), augment=True, donate=False
+        )
+
+        def make_runner(n_steps):
+            @jax.jit
+            def run(state, rng):
+                def body(carry, _):
+                    st, key = carry
+                    key, k1, k2, k3 = jax.random.split(key, 4)
+                    images = jax.random.uniform(k1, (batch_size, 256, 256, 3), jnp.float32)
+                    masks = (jax.random.uniform(k2, (batch_size, 256, 256, 1)) > 0.5).astype(jnp.float32)
+                    st, metrics = raw_step.__wrapped__(st, (images, masks), k3)
+                    return (st, key), metrics["loss"]
+
+                (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n_steps)
+                return state, losses
+
+            return run
+
+        t_short = timed(make_runner(STEPS_SHORT), seg_state, jax.random.key(2))
+        t_long = timed(make_runner(STEPS_LONG), seg_state, jax.random.key(2))
+        dt = max(t_long - t_short, 1e-9)
+        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+
     payload = {
         "metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px",
         "value": round(value, 2),
@@ -214,6 +252,10 @@ def main() -> None:
         payload["host_feed_fraction"] = round(host_feed / value, 3)
     except Exception as exc:  # never fail the primary metric on loader issues
         payload["host_feed_error"] = str(exc)[:200]
+    try:
+        payload["seg_train_imgs_per_sec_protocolA_256px"] = round(run_seg_bench(), 2)
+    except Exception as exc:
+        payload["seg_bench_error"] = str(exc)[:200]
 
     print(json.dumps(payload))
 

@@ -148,6 +148,7 @@ def test_train_seg_vanilla_multiclass_cli(tiny_multiclass, tmp_path):
         "--depth", "2",
         "--num_classes", "3",
         "--class_weights", "0.5,1.0,2.0",
+        "--augment",  # BASELINE config 4: on-device augmentation, one-hot masks flip too
         "--model_dir", str(tmp_path / "models"),
         "--log_dir", str(tmp_path / "logs"),
         "--run_name", "mc",

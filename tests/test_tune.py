@@ -184,3 +184,28 @@ def test_tune_cli_sr(tmp_path):
     # retrain saved a best-config model
     assert payload["retrain"]["checkpoint"]
     assert (tmp_path / "models" / "unet_vanilla_tuned_best" / "config.json").exists()
+
+
+def test_hyperband_pruning_at_rungs():
+    """Successive-halving pruner: bad trials die at rung steps (eta^k - 1),
+    top-1/eta survive."""
+    study = Study(direction="minimize", seed=0, pruner="hyperband",
+                  n_warmup_trials=3, n_warmup_steps=1)
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        for step in range(9):
+            trial.report(x + 0.001 * step, step)
+            if trial.should_prune():
+                raise TrialPruned()
+        return x
+
+    study.optimize(objective, n_trials=30)
+    states = [t.state for t in study.trials]
+    assert "PRUNED" in states
+    # pruned trials stopped exactly at a rung step (2 or 8)
+    for t in study.trials:
+        if t.state == "PRUNED":
+            assert max(t.intermediate) in (2, 8), t.intermediate
+    # the best completed trial was never pruned and the study still converges
+    assert study.best_value < 0.3
