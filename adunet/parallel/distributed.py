@@ -24,18 +24,21 @@ def maybe_initialize_distributed() -> bool:
     Returns True when distributed mode is active. Safe to call unconditionally:
     single-process runs are a no-op.
     """
-    if jax.process_count() > 1:
-        return True  # already initialised by the runtime
+    # IMPORTANT: do not touch jax.devices()/process_count() before deciding —
+    # jax.distributed.initialize must run before any backend initialisation.
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    if not coordinator:
-        return False
-    num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
-    process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
-    if num_processes <= 1:
-        return False
-    jax.distributed.initialize(
-        coordinator_address=coordinator,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
-    return True
+    if coordinator:
+        num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
+        process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        if num_processes > 1:
+            try:
+                jax.distributed.initialize(
+                    coordinator_address=coordinator,
+                    num_processes=num_processes,
+                    process_id=process_id,
+                )
+            except RuntimeError as exc:  # tolerate repeat calls
+                if "already" not in str(exc).lower():
+                    raise
+            return True
+    return jax.process_count() > 1  # e.g. auto-initialised by the TPU runtime

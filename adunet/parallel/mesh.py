@@ -64,9 +64,21 @@ def batch_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     """Device-put a host batch sharded along its leading dimension (and the
-    height dimension when the mesh has a 'space' axis)."""
+    height dimension when the mesh has a 'space' axis).
+
+    Multi-host: each process passes its LOCAL portion of the batch and the
+    global array is assembled across processes
+    (jax.make_array_from_process_local_data); single-host passes the whole
+    batch as before.
+    """
     sharding = batch_sharding(mesh, axis)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def make_dp_spatial_mesh(spatial_shards: int, n_devices: Optional[int] = None) -> Mesh:
@@ -87,6 +99,15 @@ def make_dp_spatial_mesh(spatial_shards: int, n_devices: Optional[int] = None) -
 
 
 def replicate(tree, mesh: Mesh):
-    """Device-put a pytree fully replicated across the mesh."""
+    """Device-put a pytree fully replicated across the mesh.
+
+    Multi-host: every process passes the same full value (replication means
+    each process's local data IS the global data)."""
     sharding = replicated_sharding(mesh)
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+    def put(x):
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, tree)

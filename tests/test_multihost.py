@@ -1,0 +1,128 @@
+"""True multi-process distributed training test.
+
+Launches TWO separate Python processes, each owning 2 virtual CPU devices,
+joined through jax.distributed (the real coordination service on localhost).
+Each process runs the production path — maybe_initialize_distributed ->
+make_mesh over the 4 global devices -> replicate params ->
+shard_batch(process-local batch) -> one SR train step — and the resulting
+loss must equal a single-process 4-device run on the same global batch.
+
+This exercises the multi-host contract the dryrun cannot: per-process batch
+assembly (jax.make_array_from_process_local_data), cross-process collectives
+through the distributed runtime, and replication from per-process values.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate, shard_batch
+
+assert maybe_initialize_distributed(), "distributed init did not engage"
+assert jax.process_count() == 2, jax.process_count()
+assert jax.device_count() == 4, jax.device_count()
+
+import jax.numpy as jnp
+from adunet.losses import charbonnier_loss
+from adunet.models import build_super_resolution_unet
+from adunet.train import create_train_state, make_optimizer, make_sr_train_step
+
+pid = jax.process_index()
+mesh = make_mesh(4)
+
+model, _ = build_super_resolution_unet(
+    scale=0.5, depth_override=1, input_size=16, base_channels=8,
+    residual_head_channels=8,
+)
+state = create_train_state(
+    model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+)
+state = replicate(state, mesh)
+
+rng = np.random.default_rng(0)
+global_batch = rng.random((8, 16, 16, 3)).astype(np.float32)
+local = global_batch[pid * 4 : (pid + 1) * 4]  # this process's shard
+
+step = make_sr_train_step(model, charbonnier_loss, donate=False)
+state, metrics = step(state, shard_batch(local, mesh), None)
+print(f"WORKER_LOSS {float(np.asarray(metrics['loss'])):.8f}", flush=True)
+"""
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_distributed_training_matches_single_process(tmp_path):
+    port = _free_port()
+    worker = tmp_path / "worker.py"
+    worker.write_text(_WORKER)
+
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=str(Path(__file__).resolve().parents[1]),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = [
+        float(line.split()[1])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("WORKER_LOSS")
+    ]
+    assert len(losses) == 2
+    assert losses[0] == losses[1]  # both processes observe the same global loss
+
+    # single-process 4-device run on the same global batch gives the same loss
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.losses import charbonnier_loss
+    from adunet.models import build_super_resolution_unet
+    from adunet.parallel import make_mesh, replicate, shard_batch
+    from adunet.train import create_train_state, make_optimizer, make_sr_train_step
+
+    mesh = make_mesh(4)
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=16, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+    )
+    state = replicate(state, mesh)
+    rng = np.random.default_rng(0)
+    global_batch = rng.random((8, 16, 16, 3)).astype(np.float32)
+    step = make_sr_train_step(model, charbonnier_loss, donate=False)
+    _, metrics = step(state, shard_batch(global_batch, mesh), None)
+    single = float(np.asarray(metrics["loss"]))
+    assert losses[0] == pytest.approx(single, rel=1e-6)
