@@ -75,3 +75,39 @@ def test_dp_model_training_matches_dp():
     assert tuple(spec) == (None, None, None, "model"), spec
     narrow = state_tp.params["enc0"]["conv0"]["kernel"]  # (3,3,3,32)
     assert all(s is None for s in tuple(narrow.sharding.spec)) or tuple(narrow.sharding.spec) == ()
+
+
+def test_sharded_state_checkpoint_roundtrip(tmp_path):
+    """Orbax save/restore of a channel-sharded TrainState: values survive and
+    re-placement onto the dp x model mesh restores the sharding."""
+    from adunet.train import CheckpointManager
+
+    mesh = make_dp_model_mesh(2, 8)
+    _, state = _train_losses(mesh, lambda s, m: shard_state(s, m, min_channels=128), n_steps=1)
+
+    mngr = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", mode="min")
+    mngr.save(1, state, metrics={"val_loss": 0.5})
+
+    # restore into a fresh (differently-initialised) state, then re-shard
+    from adunet.losses import charbonnier_loss  # noqa: F401 (parity with helper)
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=3, input_size=64, base_channels=32,
+        residual_head_channels=32,
+    )
+    fresh = create_train_state(
+        model, jax.random.key(99), jnp.zeros((1, 64, 64, 3)), make_optimizer(1e-3)
+    )
+    restored = mngr.restore_latest(fresh)
+    mngr.close()
+    assert restored is not None
+    np.testing.assert_allclose(
+        np.asarray(restored.params["bottleneck"]["conv0"]["kernel"]),
+        np.asarray(state.params["bottleneck"]["conv0"]["kernel"]),
+        atol=0,
+    )
+    replaced = shard_state(restored, mesh, min_channels=128)
+    spec = replaced.params["bottleneck"]["conv0"]["kernel"].sharding.spec
+    assert tuple(spec) == (None, None, None, "model")
