@@ -79,11 +79,9 @@ def _load_flax_params_into_keras(kmodel, params):
 
     weight_map = {}
     for name in params:
-        if name == "residual_rgb":
-            weight_map["residual_rgb"] = conv_w(params[name])
-        elif name.endswith("_smooth"):
+        if "kernel" in params[name]:  # plain conv (heads, smooth convs)
             weight_map[name] = conv_w(params[name])
-        else:
+        else:  # ConvBlock subtree
             weight_map.update(block_w(name))
 
     for layer in kmodel.layers:
@@ -469,3 +467,151 @@ def test_seg_training_dynamics_match_keras_oracle():
     )({"params": state.params, "batch_stats": state.batch_stats}, jnp.asarray(holdout)))
     keras_pred = kmodel(holdout, training=False).numpy()
     np.testing.assert_allclose(ours_pred, keras_pred, atol=2e-2)
+
+
+def test_vanilla_sr_forward_matches_keras_oracle():
+    """Vanilla SR baseline (u-net-vinillia.py:128-168): BatchNorm blocks,
+    max-pool encoder, bilinear UpSampling2D + smooth-conv + concat decoder,
+    sigmoid RGB head — inference-mode parity with our weights loaded."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    from adunet.models import VanillaSRUNet
+
+    size, base, depth = 32, 8, 2
+    model = VanillaSRUNet(base_channels=base, depth=depth)
+    rng = np.random.default_rng(8)
+    x = rng.random((2, size, size, 3), dtype=np.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=False))(
+        jax.random.key(5), jnp.asarray(x)
+    )
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    stats = jax.tree_util.tree_map(np.asarray, variables["batch_stats"])
+    ours = np.asarray(
+        jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, jnp.asarray(x))
+    )
+
+    def conv_block(t, nf, name):
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(t)
+        t = L.BatchNormalization(name=f"{name}_norm0")(t)
+        t = L.Activation("relu")(t)
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(t)
+        t = L.BatchNormalization(name=f"{name}_norm1")(t)
+        return L.Activation("relu")(t)
+
+    inputs = Input(shape=(size, size, 3))
+    t = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(t, nf, f"enc{level}")
+        t = L.MaxPooling2D(2)(skip)
+        skips.append(skip)
+        nf *= 2
+    t = conv_block(t, nf, "bottleneck")
+    for level, skip in reversed(list(enumerate(skips))):
+        nf //= 2
+        t = L.UpSampling2D(size=(2, 2), interpolation="bilinear")(t)
+        t = L.Conv2D(nf, 3, padding="same", activation="relu", name=f"dec{level}_smooth")(t)
+        t = L.Concatenate()([t, skip])
+        t = conv_block(t, nf, f"dec{level}")
+    out = L.Conv2D(3, 1, activation="sigmoid", name="enhanced_rgb")(t)
+    kmodel = Model(inputs, out)
+
+    for layer in kmodel.layers:
+        name = layer.name
+        if name.endswith("_smooth") or name == "enhanced_rgb":
+            tree = params[name]
+            layer.set_weights([tree["kernel"], tree["bias"]])
+        elif name.endswith(("_conv0", "_conv1")):
+            block, _, suffix = name.rpartition("_")
+            tree = params[block][f"conv{suffix[-1]}"]
+            layer.set_weights([tree["kernel"], tree["bias"]])
+        elif "_norm" in name:
+            block, _, norm = name.rpartition("_")
+            p = params[block][norm]
+            s = stats[block][norm]
+            layer.set_weights([p["scale"], p["bias"], s["mean"], s["var"]])
+
+    theirs = kmodel(x, training=False).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=5e-4)
+
+
+def test_joint_model_forward_matches_keras_oracle():
+    """Joint SR+seg shared encoder: the Keras twin pins the composition —
+    one encoder/bottleneck feeding two decoders with per-task weights,
+    residual-clip SR head and sigmoid mask head."""
+    from tensorflow.keras import Input, Model
+    from tensorflow.keras import layers as L
+
+    from adunet.models import build_joint_unet
+
+    scale, depth, base, size = 0.5, 2, 8, 32
+    model, _ = build_joint_unet(
+        scale=scale, base_channels=base, residual_head_channels=base,
+        num_classes=1, depth_override=depth, input_size=size,
+    )
+    rng = np.random.default_rng(12)
+    x = rng.random((2, size, size, 3), dtype=np.float32)
+    variables = jax.jit(model.init)(jax.random.key(4), jnp.asarray(x))
+    params = jax.tree_util.tree_map(np.asarray, variables["params"])
+    # randomise the SR head so its branch isn't trivially identity
+    params["residual_rgb"]["kernel"] = rng.normal(
+        0, 0.05, params["residual_rgb"]["kernel"].shape
+    ).astype(np.float32)
+    ours_sr, ours_seg = jax.jit(model.apply)({"params": params}, jnp.asarray(x))
+
+    def conv_block(t, nf, name):
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv0")(t)
+        t = L.LayerNormalization(axis=-1, name=f"{name}_norm0")(t)
+        t = L.Activation("relu")(t)
+        t = L.Conv2D(nf, 3, padding="same", name=f"{name}_conv1")(t)
+        t = L.LayerNormalization(axis=-1, name=f"{name}_norm1")(t)
+        return L.Activation("relu")(t)
+
+    def resize_by_scale(t):
+        h = tf.shape(t)[1]
+        w = tf.shape(t)[2]
+        nh = tf.maximum(tf.cast(tf.math.ceil(tf.cast(h, tf.float32) * scale), tf.int32), 1)
+        nw = tf.maximum(tf.cast(tf.math.ceil(tf.cast(w, tf.float32) * scale), tf.int32), 1)
+        return tf.image.resize(t, [nh, nw], method="bilinear", antialias=True)
+
+    inputs = Input(shape=(size, size, 3))
+    t = inputs
+    skips = []
+    nf = base
+    for level in range(depth):
+        skip = conv_block(t, nf, f"enc{level}")
+        t = L.Lambda(resize_by_scale)(skip)
+        skips.append(skip)
+        nf *= 2
+    bottleneck = conv_block(t, nf, "bottleneck")
+
+    def decoder(tag):
+        d = bottleneck
+        dn = nf
+        for level, skip in reversed(list(enumerate(skips))):
+            dn //= 2
+            target = skip.shape[1]
+            d = L.Lambda(lambda u, s=target: tf.image.resize(u, [s, s], method="bilinear", antialias=True))(d)
+            d = L.Conv2D(dn, 3, padding="same", activation="relu", name=f"{tag}_dec{level}_smooth")(d)
+            d = L.Concatenate()([d, skip])
+            d = conv_block(d, dn, f"{tag}_dec{level}")
+        return d
+
+    sr = conv_block(decoder("sr"), base, "sr_head")
+    residual = L.Conv2D(3, 1, padding="same", kernel_initializer="zeros",
+                        bias_initializer="zeros", name="residual_rgb")(sr)
+    sr_out = L.Lambda(lambda u: tf.clip_by_value(u[0] + u[1], 0.0, 1.0))([inputs, residual])
+    seg_out = L.Conv2D(1, 1, activation="sigmoid", name="mask_logits")(decoder("seg"))
+    kmodel = Model(inputs, [sr_out, seg_out])
+
+    _load_flax_params_into_keras(kmodel, params)
+    # heads not covered by the block loader
+    kmodel.get_layer("mask_logits").set_weights(
+        [params["mask_logits"]["kernel"], params["mask_logits"]["bias"]]
+    )
+
+    theirs_sr, theirs_seg = (o.numpy() for o in kmodel(x, training=False))
+    np.testing.assert_allclose(np.asarray(ours_sr), theirs_sr, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(ours_seg), theirs_seg, atol=5e-4)
