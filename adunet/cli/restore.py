@@ -52,9 +52,13 @@ def _tile_starts(extent: int, patch: int, overlap: int) -> List[int]:
 
 
 def _blend_weights(patch: int, overlap: int) -> np.ndarray:
-    """2-D weight window ramping linearly inside the overlap margins."""
+    """2-D weight window ramping linearly inside the overlap margins.
+
+    The taper is clamped to half the patch so the ascending and descending
+    ramps never overlap (an overlap > patch/2 would otherwise overwrite the
+    ascending edge and bias the blend toward the left/top tile)."""
     ramp = np.ones(patch, np.float32)
-    taper = max(overlap, 1)
+    taper = min(max(overlap, 1), patch // 2)
     edge = np.linspace(1.0 / (taper + 1), 1.0, taper, dtype=np.float32)
     ramp[:taper] = edge
     ramp[-taper:] = edge[::-1]

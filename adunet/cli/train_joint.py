@@ -76,10 +76,13 @@ def train(args: argparse.Namespace) -> dict:
 
     maybe_initialize_distributed()
 
+    from adunet.parallel.distributed import process_shard
+
     train_pairs = discover_pairs(
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_train,
     )
+    train_pairs = process_shard(train_pairs) or train_pairs  # multi-host slice
     val_pairs = None
     if args.val_image_dir is not None and args.val_mask_dir is not None:
         val_pairs = discover_pairs(

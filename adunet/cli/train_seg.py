@@ -83,6 +83,7 @@ def train(cfg) -> dict:
         shuffle=True,
         seed=cfg.seed,
         limit=cfg.limit,
+        shard_across_processes=True,
     )
     val_ds, val_count = build_isic_dataset(
         cfg.val_images,

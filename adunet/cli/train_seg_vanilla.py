@@ -82,6 +82,9 @@ def train(args: argparse.Namespace) -> dict:
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_train,
     )
+    from adunet.parallel.distributed import process_shard
+
+    train_pairs = process_shard(train_pairs) or train_pairs  # multi-host slice
     val_pairs = discover_pairs(
         args.val_image_dir.expanduser(), args.val_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_val,

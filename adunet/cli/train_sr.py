@@ -92,6 +92,7 @@ def train(cfg) -> dict:
     from adunet.losses import build_losses_and_metrics, make_perceptual_fn
     from adunet.models import build_super_resolution_unet
     from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
+    from adunet.parallel.distributed import process_seed, process_shard
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -116,6 +117,10 @@ def train(cfg) -> dict:
     train_paths = [hr_paths[i] for i in train_idx]
     val_paths = [hr_paths[i] for i in val_idx]
     test_paths = [hr_paths[i] for i in test_idx]
+    # multi-host: each process streams a DIFFERENT slice of the training data
+    # (shard_batch assembles the global batch from per-process local batches)
+    train_paths = process_shard(train_paths) or train_paths
+    data_seed = process_seed(cfg.seed)
 
     degrade_scale = cfg.train_degrade_scale()
     paired = bool(cfg.low_res_dir)
@@ -136,7 +141,10 @@ def train(cfg) -> dict:
                 shuffle=shuffle, seed=cfg.seed, drop_remainder=drop_remainder,
             )
 
-        train_ds = paired_dataset(train_idx, shuffle=True, drop_remainder=True)
+        train_ds = paired_dataset(
+            process_shard(list(train_idx)) or list(train_idx),
+            shuffle=True, drop_remainder=True,
+        )
         if train_ds is None:
             raise ValueError("Paired mode requires at least one training image.")
         train_patch_count = len(train_idx)
@@ -150,7 +158,7 @@ def train(cfg) -> dict:
             patches_per_image=cfg.patches_per_image,
             scale=degrade_scale,
             batch_size=cfg.batch_size,
-            seed=cfg.seed,
+            seed=data_seed,
             shuffle_buffer=cfg.shuffle_buffer,
             output_dtype="uint8" if cfg.uint8_feed else "float32",
         )
@@ -201,10 +209,13 @@ def train(cfg) -> dict:
         mesh = make_mesh(cfg.n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
     dp_size = mesh.shape["data"]
-    if cfg.batch_size % dp_size != 0:
+    # batch_size is per-process: the global batch (batch_size x process_count)
+    # must split evenly over the data axis
+    local_dp = max(1, dp_size // jax.process_count())
+    if cfg.batch_size % local_dp != 0:
         raise ValueError(
-            f"batch_size={cfg.batch_size} must be divisible by the data axis ({dp_size}); "
-            "pass --n_devices/--model_shards or adjust --batch_size."
+            f"batch_size={cfg.batch_size} must be divisible by the per-process data-axis "
+            f"share ({local_dp}); pass --n_devices/--model_shards or adjust --batch_size."
         )
 
     sample = jnp.zeros((cfg.batch_size, cfg.patch_size, cfg.patch_size, 3), jnp.float32)

@@ -122,11 +122,21 @@ def build_isic_dataset(
     shuffle: bool,
     seed: int,
     limit: Optional[int] = None,
+    shard_across_processes: bool = False,
 ) -> Tuple[SegPairDataset, int]:
-    """Signature-parity constructor (Segmenation trainer :193-219)."""
+    """Signature-parity constructor (Segmenation trainer :193-219).
+
+    ``shard_across_processes=True`` gives each jax process a disjoint
+    stride-slice of the pairs (multi-host data parallelism: local batches
+    must differ or the assembled global batch duplicates samples).
+    """
     pairs = collect_isic_pairs(image_dir, mask_dir)
     if limit is not None and limit > 0:
         pairs = pairs[:limit]
+    if shard_across_processes:
+        from adunet.parallel.distributed import process_shard
+
+        pairs = process_shard(pairs) or pairs
     ds = SegPairDataset(
         pairs,
         batch_size=batch_size,

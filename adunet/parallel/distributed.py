@@ -13,7 +13,28 @@ import os
 
 import jax
 
-__all__ = ["maybe_initialize_distributed"]
+__all__ = ["maybe_initialize_distributed", "process_shard", "process_seed"]
+
+_initialized = False
+
+
+def process_shard(seq):
+    """This process's stride-slice of a global sequence (file/pair lists).
+
+    Multi-host data parallelism requires each process to feed DIFFERENT
+    samples — identical local batches would assemble into a global batch
+    that duplicates every sample process_count times, silently wasting the
+    extra hosts. Single-process: returns seq unchanged.
+    """
+    n = jax.process_count()
+    if n <= 1:
+        return seq
+    return seq[jax.process_index()::n]
+
+
+def process_seed(seed: int) -> int:
+    """Decorrelate per-process RNG streams (random patch sampling)."""
+    return int(seed) + jax.process_index() * 1_000_003
 
 
 def maybe_initialize_distributed() -> bool:
@@ -24,6 +45,9 @@ def maybe_initialize_distributed() -> bool:
     Returns True when distributed mode is active. Safe to call unconditionally:
     single-process runs are a no-op.
     """
+    global _initialized
+    if _initialized:
+        return True
     # IMPORTANT: do not touch jax.devices()/process_count() before deciding —
     # jax.distributed.initialize must run before any backend initialisation.
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
@@ -37,8 +61,12 @@ def maybe_initialize_distributed() -> bool:
                     num_processes=num_processes,
                     process_id=process_id,
                 )
-            except RuntimeError as exc:  # tolerate repeat calls
-                if "already" not in str(exc).lower():
+            except RuntimeError as exc:
+                # tolerate repeat calls; jax's message is
+                # "distributed.initialize should only be called once."
+                msg = str(exc).lower()
+                if "already" not in msg and "only be called once" not in msg:
                     raise
+            _initialized = True
             return True
     return jax.process_count() > 1  # e.g. auto-initialised by the TPU runtime

@@ -81,6 +81,18 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
     return jax.tree_util.tree_map(put, batch)
 
 
+def make_dp_axis_mesh(axis_name: str, shards: int, n_devices: Optional[int] = None) -> Mesh:
+    """2-D mesh ('data', axis_name): data parallel x a second sharding axis."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    total = len(devices)
+    if total % shards != 0:
+        raise ValueError(f"{total} devices not divisible by {axis_name} shards={shards}.")
+    return make_mesh(total, axis_names=("data", axis_name),
+                     mesh_shape=(total // shards, shards))
+
+
 def make_dp_spatial_mesh(spatial_shards: int, n_devices: Optional[int] = None) -> Mesh:
     """2-D mesh ('data', 'space'): data parallel x spatial (height) sharding.
 
@@ -88,14 +100,7 @@ def make_dp_spatial_mesh(spatial_shards: int, n_devices: Optional[int] = None) -
     deep models (the reference's scale-0.7/0.8 depth-5 configs) — the
     image-domain analogue of sequence parallelism.
     """
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    total = len(devices)
-    if total % spatial_shards != 0:
-        raise ValueError(f"{total} devices not divisible by spatial_shards={spatial_shards}.")
-    return make_mesh(total, axis_names=("data", "space"),
-                     mesh_shape=(total // spatial_shards, spatial_shards))
+    return make_dp_axis_mesh("space", spatial_shards, n_devices)
 
 
 def replicate(tree, mesh: Mesh):

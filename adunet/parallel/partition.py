@@ -28,21 +28,14 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from adunet.parallel.mesh import make_mesh
+from adunet.parallel.mesh import make_dp_axis_mesh
 
 __all__ = ["make_dp_model_mesh", "channel_partition_spec", "shard_params", "shard_state"]
 
 
 def make_dp_model_mesh(model_shards: int, n_devices: Optional[int] = None) -> Mesh:
     """2-D mesh ('data', 'model'): data parallel x output-channel sharding."""
-    devices = jax.devices()
-    if n_devices is not None:
-        devices = devices[:n_devices]
-    total = len(devices)
-    if total % model_shards != 0:
-        raise ValueError(f"{total} devices not divisible by model_shards={model_shards}.")
-    return make_mesh(total, axis_names=("data", "model"),
-                     mesh_shape=(total // model_shards, model_shards))
+    return make_dp_axis_mesh("model", model_shards, n_devices)
 
 
 def channel_partition_spec(shape, model_size: int, min_channels: int = 256) -> P:
@@ -58,7 +51,7 @@ def shard_params(params, mesh: Mesh, min_channels: int = 256):
     """Device-put a param-like pytree with channel-sharded wide leaves."""
     if "model" not in mesh.axis_names:
         raise ValueError("mesh must carry a 'model' axis (make_dp_model_mesh).")
-    model_size = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == "model"]))
+    model_size = int(mesh.shape["model"])
 
     def put(leaf):
         spec = channel_partition_spec(np.shape(leaf), model_size, min_channels)

@@ -247,10 +247,10 @@ class Study:
         if len(history) < self.n_warmup_trials:
             return False
         current = trial.intermediate[step]
-        history_sorted = sorted(history, reverse=self.direction == "maximize")
+        ascending = sorted(history)
 
         if self.pruner == "median":
-            median = history_sorted[len(history_sorted) // 2]
+            median = ascending[len(ascending) // 2]
             return current > median if self.direction == "minimize" else current < median
 
         if self.pruner == "hyperband":
@@ -262,9 +262,10 @@ class Study:
                 rung *= eta
             if step != rung - 1 and step != 0:
                 return False
-            cutoff_idx = max(0, len(history_sorted) // eta - 1)
-            cutoff = history_sorted[cutoff_idx]
-            return current > cutoff if self.direction == "minimize" else current < cutoff
+            k = max(1, len(ascending) // eta)  # size of the surviving tier
+            if self.direction == "minimize":
+                return current > ascending[k - 1]
+            return current < ascending[-k]
 
         return False  # pruner == "none"
 
