@@ -41,6 +41,13 @@ from adunet.train import create_train_state, make_optimizer, make_sr_train_step
 pid = jax.process_index()
 mesh = make_mesh(4)
 
+# the data layer must give each process DISJOINT training data
+from adunet.parallel.distributed import process_seed, process_shard
+mine = process_shard(list(range(10)))
+expected = list(range(10))[pid::2]
+assert mine == expected, (pid, mine)
+assert process_seed(0) == pid * 1_000_003
+
 model, _ = build_super_resolution_unet(
     scale=0.5, depth_override=1, input_size=16, base_channels=8,
     residual_head_channels=8,

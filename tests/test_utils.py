@@ -25,3 +25,11 @@ def test_split_indices_guards():
         split_indices(10, 0.0, 0.5, 0.5, seed=0)
     with pytest.raises(ValueError):
         split_indices(10, 0.8, -0.1, 0.1, seed=0)
+
+
+def test_process_shard_single_process_identity():
+    from adunet.parallel.distributed import process_seed, process_shard
+
+    seq = list(range(7))
+    assert process_shard(seq) == seq  # single process: unchanged
+    assert process_seed(42) == 42
