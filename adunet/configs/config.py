@@ -73,6 +73,8 @@ class SRTrainConfig:
     preview_patches: int = 3
     # stream HR patches as uint8, normalising to [0,1] f32 on device
     uint8_feed: bool = False
+    # cache the whole (uniform-size) corpus in HBM; sample patches on device
+    device_cache: bool = False
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink

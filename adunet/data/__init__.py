@@ -25,6 +25,7 @@ from adunet.data.sr_pipeline import (
 from adunet.data.seg_pipeline import SegPairDataset, build_isic_dataset
 from adunet.data.augment import augment_pair_batch, random_resized_crop_pair, flip_pair_batch
 from adunet.data.array_dataset import ArrayDataset, make_array_dataset
+from adunet.data.device_cache import load_device_cache, sample_patch_batch
 
 __all__ = [
     "load_rgb_image",
@@ -53,4 +54,6 @@ __all__ = [
     "flip_pair_batch",
     "ArrayDataset",
     "make_array_dataset",
+    "load_device_cache",
+    "sample_patch_batch",
 ]

@@ -8,6 +8,7 @@ from adunet.train.sr import (
     make_sr_val_step,
     make_vanilla_sr_train_step,
     make_vanilla_sr_val_step,
+    make_sr_device_cache_train_step,
     sr_loss_and_metrics,
     DATA_LR_SHRINK,
 )
@@ -26,6 +27,7 @@ __all__ = [
     "make_sr_val_step",
     "make_vanilla_sr_train_step",
     "make_vanilla_sr_val_step",
+    "make_sr_device_cache_train_step",
     "sr_loss_and_metrics",
     "DATA_LR_SHRINK",
     "make_seg_train_step",

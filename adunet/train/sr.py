@@ -32,6 +32,7 @@ __all__ = [
     "make_sr_eval_step",
     "make_vanilla_sr_train_step",
     "make_vanilla_sr_val_step",
+    "make_sr_device_cache_train_step",
     "DATA_LR_SHRINK",
 ]
 
@@ -208,3 +209,42 @@ def make_vanilla_sr_val_step(model, loss_fn):
         }
 
     return step
+
+
+def make_sr_device_cache_train_step(
+    model,
+    loss_fn,
+    images_u8: jax.Array,
+    patch_size: int,
+    batch_size: int,
+    data_scale: float = DATA_LR_SHRINK,
+    donate: bool = True,
+    batch_sharding=None,
+):
+    """Train step sampling its own batch from a device-resident corpus.
+
+    The host supplies only a PRNG key per step: image choice, crop, LR
+    degradation, forward, backward and Adam are one XLA program over HBM
+    (zero per-step host->device traffic — see adunet.data.device_cache).
+    fit() drives it with a dummy batch iterator + samples_per_step.
+    ``batch_sharding``: optional NamedSharding to spread the sampled batch
+    over a mesh's data axis (GSPMD then distributes the whole step).
+    """
+    from adunet.data.device_cache import sample_patch_batch
+
+    def step(state: TrainState, batch, rng: jax.Array):
+        del batch  # the corpus lives on device; rng IS the data source
+        hr_batch = sample_patch_batch(images_u8, rng, batch_size, patch_size)
+        if batch_sharding is not None:
+            hr_batch = jax.lax.with_sharding_constraint(hr_batch, batch_sharding)
+        lr_batch = degrade(hr_batch, data_scale, patch_size)
+
+        def compute_loss(params):
+            pred = state.apply_fn({"params": params}, lr_batch)
+            return sr_loss_and_metrics(loss_fn, hr_batch, pred)
+
+        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads)
+        return new_state, {"loss": loss, **metrics}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())

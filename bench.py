@@ -201,6 +201,48 @@ def main() -> None:
     if value is None:
         raise RuntimeError(f"bench failed at all batch sizes: {last_err}")
 
+    def run_device_cache_bench(batch_size: int) -> float:
+        """Corpus resident in HBM, patches sampled inside the jitted step —
+        the production path for datasets that fit device memory (DIV2K ~5 GB
+        uint8 vs 16 GB HBM). Per-step host traffic: one PRNG key."""
+        from adunet.data import load_device_cache
+        from adunet.train import make_sr_device_cache_train_step
+
+        with tempfile.TemporaryDirectory() as tmp:
+            rng_np = np.random.default_rng(0)
+            paths = []
+            for i in range(HOST_FEED_IMAGES):
+                p = Path(tmp) / f"bench{i:03d}.npy"
+                np.save(p, (rng_np.random((HOST_FEED_IMAGE_PX, HOST_FEED_IMAGE_PX, 3)) * 255).astype(np.uint8))
+                paths.append(str(p))
+            cache = load_device_cache(paths)
+
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-4)
+        )
+        raw_step = make_sr_device_cache_train_step(
+            model, loss_fn, cache, patch_size=256, batch_size=batch_size, donate=False
+        )
+
+        def make_runner(n_steps):
+            @jax.jit
+            def run(state, rng):
+                def body(carry, _):
+                    st, key = carry
+                    key, sub = jax.random.split(key)
+                    st, metrics = raw_step.__wrapped__(st, None, sub)
+                    return (st, key), metrics["loss"]
+
+                (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n_steps)
+                return state, losses
+
+            return run
+
+        t_short = timed(make_runner(STEPS_SHORT), state, jax.random.key(3))
+        t_long = timed(make_runner(STEPS_LONG), state, jax.random.key(3))
+        dt = max(t_long - t_short, 1e-9)
+        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+
     def run_seg_bench(batch_size: int = 32) -> float:
         """Protocol-A seg step (BatchNorm U-Net, hybrid CE+Dice, on-device
         augmentation) — the second workload's on-chip throughput. The
@@ -253,6 +295,12 @@ def main() -> None:
         payload["host_feed_fraction"] = round(host_feed / value, 3)
     except Exception as exc:  # never fail the primary metric on loader issues
         payload["host_feed_error"] = str(exc)[:200]
+    try:
+        dc = run_device_cache_bench(batch_used)
+        payload["device_cache_imgs_per_sec"] = round(dc, 2)
+        payload["device_cache_fraction"] = round(dc / value, 3)
+    except Exception as exc:
+        payload["device_cache_error"] = str(exc)[:200]
     try:
         payload["seg_train_imgs_per_sec_protocolA_256px"] = round(run_seg_bench(), 2)
     except Exception as exc:

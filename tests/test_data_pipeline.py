@@ -221,3 +221,55 @@ def test_sr_step_normalises_uint8_on_device(png_dataset):
     _, m_u8 = step(state, jnp.asarray(u8), None)
     _, m_f32 = step(state, jnp.asarray(f32), None)
     assert float(m_u8["loss"]) == pytest.approx(float(m_f32["loss"]), rel=1e-6)
+
+
+def test_device_cache_sampling():
+    """On-device patch sampling: in-bounds crops, exact pixel provenance,
+    [0,1] f32 output, rng-deterministic."""
+    import jax
+
+    from adunet.data import load_device_cache, sample_patch_batch
+
+    rng_np = np.random.default_rng(0)
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as tmp:
+        host = []
+        for i in range(3):
+            img = (rng_np.random((24, 20, 3)) * 255).astype(np.uint8)
+            np.save(Path(tmp) / f"i{i}.npy", img)
+            host.append(img)
+        paths = [str(Path(tmp) / f"i{i}.npy") for i in range(3)]
+        cache = load_device_cache(paths)
+    assert cache.shape == (3, 24, 20, 3) and cache.dtype == jnp.uint8
+
+    batch = sample_patch_batch(cache, jax.random.key(7), batch_size=16, patch_size=8)
+    assert batch.shape == (16, 8, 8, 3)
+    arr = np.asarray(batch)
+    assert arr.min() >= 0.0 and arr.max() <= 1.0
+
+    # every sampled patch exists verbatim in one of the source images
+    # (device normalises via x * (1/255) — match that arithmetic exactly)
+    stacks = np.stack(host).astype(np.float32) * np.float32(1.0 / 255.0)
+    for patch in arr[:4]:
+        found = False
+        for img in stacks:
+            for y in range(24 - 8 + 1):
+                for x in range(20 - 8 + 1):
+                    if np.array_equal(img[y:y+8, x:x+8], patch):
+                        found = True
+        assert found
+
+    # deterministic for a fixed key
+    again = np.asarray(sample_patch_batch(cache, jax.random.key(7), 16, 8))
+    np.testing.assert_array_equal(arr, again)
+
+    # mixed sizes are rejected
+    import pytest as _pytest
+    with tempfile.TemporaryDirectory() as tmp:
+        np.save(Path(tmp) / "a.npy", np.zeros((8, 8, 3), np.uint8))
+        np.save(Path(tmp) / "b.npy", np.zeros((9, 8, 3), np.uint8))
+        from adunet.data import load_device_cache as ldc
+        with _pytest.raises(ValueError, match="uniform"):
+            ldc([str(Path(tmp) / "a.npy"), str(Path(tmp) / "b.npy")])
