@@ -20,8 +20,11 @@ import numpy as np
 
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(description="Restore a directory of images with a trained SR model.")
-    parser.add_argument("--model-path", type=Path, required=True,
+    parser.add_argument("--model-path", type=Path, default=None,
                         help="Orbax checkpoint root (directory written by train_sr).")
+    parser.add_argument("--from-export", type=Path, default=None,
+                        help="Serve from a StableHLO artifact (cli/export_model.py) "
+                             "instead of a checkpoint; no model rebuild involved.")
     parser.add_argument("--scale", type=float, required=True)
     parser.add_argument("--input-dir", type=Path, required=True)
     parser.add_argument("--output-dir", type=Path, required=True)
@@ -111,22 +114,44 @@ def main(argv: Optional[List[str]] = None) -> None:
     from adunet.ops import degrade
 
     files = find_images(args.input_dir, args.image_suffix, args.limit)
-    state, model, info = load_checkpoint_state(
-        args.model_path, args.scale, args.patch_size, args.depth_override,
-        best=not args.latest,
-    )
-    print(f"Restoring {len(files)} images with depth-{info['depth']} model "
-          f"(scale {args.scale}, tiles {args.patch_size}px, overlap {args.overlap}px).")
 
-    if args.assume_lr:
-        @jax.jit
-        def forward(tiles):
-            return jnp.clip(state.apply_fn({"params": state.params}, tiles), 0.0, 1.0)
+    if args.from_export is not None:
+        from adunet.export import load_artifact
+
+        call, manifest = load_artifact(args.from_export)
+        in_shape = manifest.get("input_shape")
+        if in_shape:  # the artifact's static shapes win over the CLI defaults
+            args.batch_size, args.patch_size = int(in_shape[0]), int(in_shape[1])
+        print(f"Restoring {len(files)} images from exported artifact "
+              f"{args.from_export} (depth {manifest.get('depth', '?')}, "
+              f"tiles {args.patch_size}px, overlap {args.overlap}px).")
+
+        if args.assume_lr:
+            forward = call
+        else:
+            degrade_fn = jax.jit(lambda t: degrade(t, args.scale, args.patch_size))
+
+            def forward(tiles):
+                return call(degrade_fn(tiles))
     else:
-        @jax.jit
-        def forward(tiles):
-            lr = degrade(tiles, args.scale, args.patch_size)
-            return jnp.clip(state.apply_fn({"params": state.params}, lr), 0.0, 1.0)
+        if args.model_path is None:
+            raise SystemExit("one of --model-path / --from-export is required")
+        state, model, info = load_checkpoint_state(
+            args.model_path, args.scale, args.patch_size, args.depth_override,
+            best=not args.latest,
+        )
+        print(f"Restoring {len(files)} images with depth-{info['depth']} model "
+              f"(scale {args.scale}, tiles {args.patch_size}px, overlap {args.overlap}px).")
+
+        if args.assume_lr:
+            @jax.jit
+            def forward(tiles):
+                return jnp.clip(state.apply_fn({"params": state.params}, tiles), 0.0, 1.0)
+        else:
+            @jax.jit
+            def forward(tiles):
+                lr = degrade(tiles, args.scale, args.patch_size)
+                return jnp.clip(state.apply_fn({"params": state.params}, lr), 0.0, 1.0)
 
     out_dir = args.output_dir.expanduser()
     out_dir.mkdir(parents=True, exist_ok=True)

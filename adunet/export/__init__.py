@@ -1,0 +1,17 @@
+"""AOT export / serving artifacts (StableHLO via jax.export)."""
+
+from adunet.export.aot import (
+    ARTIFACT_FILE,
+    MANIFEST_FILE,
+    export_sr_forward,
+    load_artifact,
+    save_artifact,
+)
+
+__all__ = [
+    "ARTIFACT_FILE",
+    "MANIFEST_FILE",
+    "export_sr_forward",
+    "load_artifact",
+    "save_artifact",
+]
