@@ -69,6 +69,7 @@ def train(args: argparse.Namespace) -> dict:
         CheckpointManager,
         create_train_state,
         fit,
+        repeat,
         make_joint_eval_step,
         make_joint_train_step,
         make_optimizer,
@@ -82,7 +83,7 @@ def train(args: argparse.Namespace) -> dict:
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_train,
     )
-    train_pairs = process_shard(train_pairs) or train_pairs  # multi-host slice
+    train_pairs = process_shard(train_pairs)  # multi-host slice (equal lengths)
     val_pairs = None
     if args.val_image_dir is not None and args.val_mask_dir is not None:
         val_pairs = discover_pairs(
@@ -164,13 +165,9 @@ def train(args: argparse.Namespace) -> dict:
         sr_weight=args.sr_weight, seg_weight=args.seg_weight, data_scale=args.scale,
     )
 
-    def forever(ds):
-        while True:
-            yield from ds
-
     result = fit(
         state,
-        forever(train_ds),
+        repeat(train_ds),
         train_step,
         steps_per_epoch=steps_per_epoch,
         epochs=args.epochs,

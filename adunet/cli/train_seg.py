@@ -66,6 +66,7 @@ def train(cfg) -> dict:
         CheckpointManager,
         create_train_state,
         fit,
+        repeat,
         make_optimizer,
         make_seg_eval_step,
         make_seg_train_step,
@@ -155,13 +156,9 @@ def train(cfg) -> dict:
     train_step = make_seg_train_step(model, loss_fn, augment=cfg.augment)
     eval_step = make_seg_eval_step(model, loss_fn)
 
-    def infinite(ds):
-        while True:
-            yield from ds
-
     result = fit(
         state,
-        infinite(train_ds),
+        repeat(train_ds),
         train_step,
         steps_per_epoch=steps_per_epoch,
         epochs=cfg.epochs,

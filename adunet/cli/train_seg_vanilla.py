@@ -68,15 +68,20 @@ def train(args: argparse.Namespace) -> dict:
         recall,
     )
     from adunet.models import build_unet
-    from adunet.parallel import make_mesh, replicate
+    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
     from adunet.train import (
         CheckpointManager,
         create_train_state,
         fit,
+        repeat,
         make_optimizer,
         make_seg_eval_step,
         make_seg_train_step,
     )
+
+    # must run before process_shard touches jax.process_count(), which would
+    # otherwise initialise the local-only backend and pin process_count()==1
+    maybe_initialize_distributed()
 
     train_pairs = discover_pairs(
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
@@ -84,7 +89,7 @@ def train(args: argparse.Namespace) -> dict:
     )
     from adunet.parallel.distributed import process_shard
 
-    train_pairs = process_shard(train_pairs) or train_pairs  # multi-host slice
+    train_pairs = process_shard(train_pairs)  # multi-host slice (equal lengths)
     val_pairs = discover_pairs(
         args.val_image_dir.expanduser(), args.val_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_val,
@@ -162,13 +167,9 @@ def train(args: argparse.Namespace) -> dict:
     )
     eval_step = make_seg_eval_step(model, loss_fn, extra_metrics=extra)
 
-    def infinite(ds):
-        while True:
-            yield from ds
-
     result = fit(
         state,
-        infinite(train_ds),
+        repeat(train_ds),
         train_step,
         steps_per_epoch=steps_per_epoch,
         epochs=args.epochs,

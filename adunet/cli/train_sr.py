@@ -101,6 +101,7 @@ def train(cfg) -> dict:
         CheckpointManager,
         create_train_state,
         fit,
+        repeat,
         make_optimizer,
         make_sr_train_step,
         make_sr_val_step,
@@ -122,8 +123,11 @@ def train(cfg) -> dict:
     val_paths = [hr_paths[i] for i in val_idx]
     test_paths = [hr_paths[i] for i in test_idx]
     # multi-host: each process streams a DIFFERENT slice of the training data
-    # (shard_batch assembles the global batch from per-process local batches)
-    train_paths = process_shard(train_paths) or train_paths
+    # (shard_batch assembles the global batch from per-process local batches).
+    # process_shard guarantees equal shard lengths, so the steps_per_epoch
+    # derived below is identical on every process (collective lockstep).
+    global_train_paths = train_paths
+    train_paths = process_shard(train_paths)
     data_seed = process_seed(cfg.seed)
 
     degrade_scale = cfg.train_degrade_scale()
@@ -146,7 +150,7 @@ def train(cfg) -> dict:
             )
 
         train_ds = paired_dataset(
-            process_shard(list(train_idx)) or list(train_idx),
+            process_shard(list(train_idx)),
             shuffle=True, drop_remainder=True,
         )
         if train_ds is None:
@@ -352,7 +356,11 @@ def train(cfg) -> dict:
         from adunet.parallel import batch_sharding as _batch_sharding, replicated_sharding
         from adunet.train import make_sr_device_cache_train_step
 
-        cache = load_device_cache(train_paths, sharding=replicated_sharding(mesh))
+        # the cache is declared replicated over the global mesh, so every
+        # process must contribute the IDENTICAL global corpus (the jitted
+        # step samples one global batch from it; GSPMD shards the batch) —
+        # the process-sharded list would put different pixels on each host
+        cache = load_device_cache(global_train_paths, sharding=replicated_sharding(mesh))
         print(f"[device_cache] {cache.shape[0]} images "
               f"({cache.nbytes / 1e6:.0f} MB uint8) resident in HBM.")
         train_step = make_sr_device_cache_train_step(
@@ -371,11 +379,7 @@ def train(cfg) -> dict:
     else:
         train_step = make_sr_train_step(model, loss_fn, data_scale=degrade_scale)
 
-        def forever(ds):
-            while True:
-                yield from ds
-
-        train_iter = forever(train_ds) if paired else train_ds
+        train_iter = repeat(train_ds) if paired else train_ds
     val_step = make_sr_val_step(model, loss_fn, data_scale=degrade_scale)
 
     result = fit(

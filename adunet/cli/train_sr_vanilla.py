@@ -72,7 +72,7 @@ def train(args: argparse.Namespace) -> dict:
     from adunet.metrics import psnr as psnr_vec, ssim as ssim_vec, ssim_multiscale
     from adunet.models import VanillaSRUNet
     from adunet.parallel import make_mesh, replicate
-    from adunet.train import CheckpointManager, create_train_state, fit, make_optimizer
+    from adunet.train import CheckpointManager, create_train_state, fit, make_optimizer, repeat
     from adunet.train.state import TrainState
     from adunet.utils import split_indices
 
@@ -176,14 +176,10 @@ def train(args: argparse.Namespace) -> dict:
     ckpt_dir = Path(args.model_dir).expanduser() / f"{run_name}_best"
     ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
 
-    def infinite(ds):
-        while True:
-            yield from ds
-
     steps_per_epoch = train_ds.steps_per_epoch
     result = fit(
         state,
-        infinite(train_ds),
+        repeat(train_ds),
         train_step,
         steps_per_epoch=steps_per_epoch,
         epochs=args.epochs,

@@ -70,6 +70,7 @@ def _sr_objective_factory(args):
         make_optimizer,
         make_vanilla_sr_train_step,
         make_vanilla_sr_val_step,
+        repeat,
     )
     from adunet.tune import TrialPruned
     from adunet.utils import split_indices
@@ -111,11 +112,7 @@ def _sr_objective_factory(args):
         step = make_vanilla_sr_train_step(model, loss_fn)
         val_step = make_vanilla_sr_val_step(model, loss_fn)
 
-        def forever(ds):
-            while True:
-                yield from ds
-
-        it = forever(train_ds)
+        it = repeat(train_ds)
         best = np.inf
         for epoch in range(epochs):
             for _ in range(train_ds.steps_per_epoch):
@@ -173,6 +170,7 @@ def _seg_objective_factory(args):
         make_optimizer,
         make_seg_eval_step,
         make_seg_train_step,
+        repeat,
     )
     from adunet.tune import TrialPruned
 
@@ -202,11 +200,7 @@ def _seg_objective_factory(args):
         rng = jax.random.key(args.seed)
         best = -np.inf
 
-        def infinite(ds):
-            while True:
-                yield from ds
-
-        it = infinite(train_ds)
+        it = repeat(train_ds)
         for epoch in range(epochs):
             for _ in range(steps_per_epoch):
                 rng, sub = jax.random.split(rng)

@@ -27,12 +27,13 @@ def grid_patch_count(
         raise ValueError("patch_size and stride must be positive.")
     if height < patch_size or width < patch_size:
         raise ValueError("patch_size exceeds image dimensions.")
+    # The reference's bottom-right fallback (shared/pipeline.py:170-172) is
+    # unreachable given the size guard above: rows/cols are always >= 1, so
+    # the closed form is the whole answer (drop_remainder never changes it).
+    del drop_remainder
     rows = (height - patch_size) // stride + 1
     cols = (width - patch_size) // stride + 1
-    count = rows * cols
-    if count == 0 and not drop_remainder:
-        return 1  # bottom-right fallback patch
-    return count
+    return rows * cols
 
 
 def random_patch(
@@ -92,14 +93,13 @@ def grid_patches(
     if height < patch_size or width < patch_size:
         raise ValueError("patch_size exceeds image dimensions.")
 
+    # NB: the loops always yield >= 1 patch under the size guard, so the
+    # reference's bottom-right fallback / empty-grid cases
+    # (shared/pipeline.py:170-174) cannot occur; drop_remainder is kept for
+    # signature parity only.
+    del drop_remainder
     patches: List[np.ndarray] = []
     for top in range(0, height - patch_size + 1, stride):
         for left in range(0, width - patch_size + 1, stride):
             patches.append(image[top : top + patch_size, left : left + patch_size, :])
-
-    if not patches and not drop_remainder:
-        patches.append(image[-patch_size:, -patch_size:, :])
-
-    if not patches:
-        return np.empty((0, patch_size, patch_size, 3), dtype=image.dtype)
     return np.stack(patches, axis=0)

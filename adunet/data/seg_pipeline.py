@@ -57,7 +57,12 @@ class SegPairDataset:
         self.num_classes = num_classes
         # drop_remainder keeps every batch the compiled shape — required when
         # batches are sharded over a mesh (a ragged tail cannot be split N ways)
-        self.drop_remainder = drop_remainder and len(pairs) >= batch_size
+        if drop_remainder and len(pairs) < batch_size:
+            raise ValueError(
+                f"drop_remainder=True but only {len(pairs)} pairs for "
+                f"batch_size={batch_size} — not enough samples for one full batch."
+            )
+        self.drop_remainder = drop_remainder
         self._epoch = 0
         if self.drop_remainder:
             self.steps_per_epoch = len(pairs) // batch_size
@@ -136,7 +141,7 @@ def build_isic_dataset(
     if shard_across_processes:
         from adunet.parallel.distributed import process_shard
 
-        pairs = process_shard(pairs) or pairs
+        pairs = process_shard(pairs)  # equal shard lengths -> equal step counts
     ds = SegPairDataset(
         pairs,
         batch_size=batch_size,

@@ -9,6 +9,7 @@ sharded-batch program.
 
 from __future__ import annotations
 
+import math
 import os
 
 import jax
@@ -25,11 +26,19 @@ def process_shard(seq):
     samples — identical local batches would assemble into a global batch
     that duplicates every sample process_count times, silently wasting the
     extra hosts. Single-process: returns seq unchanged.
+
+    Shards are always EQUAL LENGTH (``ceil(len/n)``, wrapping around the
+    global sequence when it does not divide evenly): every jitted step
+    contains GSPMD collectives all processes must join, so per-process step
+    counts derived from shard sizes must match exactly or training deadlocks
+    at the first epoch boundary only some processes reach.
     """
     n = jax.process_count()
-    if n <= 1:
+    if n <= 1 or not len(seq):
         return seq
-    return seq[jax.process_index()::n]
+    pid = jax.process_index()
+    per = math.ceil(len(seq) / n)
+    return [seq[i % len(seq)] for i in range(pid, pid + n * per, n)]
 
 
 def process_seed(seed: int) -> int:

@@ -14,7 +14,7 @@ from adunet.train.sr import (
 )
 from adunet.train.seg import make_seg_train_step, make_seg_eval_step
 from adunet.train.joint import make_joint_train_step, make_joint_eval_step
-from adunet.train.loop import fit, FitResult, EpochLog
+from adunet.train.loop import fit, repeat, FitResult, EpochLog
 from adunet.train.checkpoint import CheckpointManager
 
 __all__ = [
@@ -35,6 +35,7 @@ __all__ = [
     "make_joint_train_step",
     "make_joint_eval_step",
     "fit",
+    "repeat",
     "FitResult",
     "EpochLog",
     "CheckpointManager",

@@ -90,6 +90,14 @@ def _scale_injected_lr(state: TrainState, factor: float, min_lr: float) -> Train
     return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
 
 
+def repeat(dataset):
+    """Endlessly re-iterate a finite dataset — ``fit`` consumes an infinite
+    train iterator, and a finite one would surface StopIteration from the
+    transfer thread mid-epoch."""
+    while True:
+        yield from dataset
+
+
 def fit(
     state: TrainState,
     train_iter: Iterable,

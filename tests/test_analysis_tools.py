@@ -135,3 +135,9 @@ def test_seg_pair_dataset_drop_remainder(tmp_path):
     ds2 = SegPairDataset(pairs, batch_size=4, image_size=8, augment=False,
                          shuffle=False, seed=0)
     assert [b[0].shape[0] for b in ds2] == [4, 4, 2]
+
+    # too few pairs for one full batch must be a loud error, not a silent
+    # ragged batch that later fails to shard over the mesh
+    with pytest.raises(ValueError, match="drop_remainder"):
+        SegPairDataset(pairs[:3], batch_size=4, image_size=8, augment=False,
+                       shuffle=False, seed=0, drop_remainder=True)

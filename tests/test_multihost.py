@@ -41,11 +41,17 @@ from adunet.train import create_train_state, make_optimizer, make_sr_train_step
 pid = jax.process_index()
 mesh = make_mesh(4)
 
-# the data layer must give each process DISJOINT training data
+# the data layer must give each process DISJOINT training data...
 from adunet.parallel.distributed import process_seed, process_shard
 mine = process_shard(list(range(10)))
 expected = list(range(10))[pid::2]
 assert mine == expected, (pid, mine)
+# ...with EQUAL shard lengths when the count does not divide (steps_per_epoch
+# derived from the local shard must match across processes, or the per-step
+# collectives deadlock at the epoch boundary)
+assert len(process_shard(list(range(5)))) == 3
+assert process_shard(list(range(5))) == ([0, 2, 4] if pid == 0 else [1, 3, 0])
+assert process_shard([7]) == [7]  # fewer items than processes: recycle, never empty
 assert process_seed(0) == pid * 1_000_003
 
 model, _ = build_super_resolution_unet(

@@ -33,3 +33,30 @@ def test_process_shard_single_process_identity():
     seq = list(range(7))
     assert process_shard(seq) == seq  # single process: unchanged
     assert process_seed(42) == 42
+
+
+def test_process_shard_equal_lengths(monkeypatch):
+    """Shards must have EQUAL lengths for any (len, n_processes): per-process
+    steps_per_epoch derives from the local shard, and unequal step counts
+    deadlock the per-step collectives. Verified here by faking the process
+    topology; the real 2-process pinning lives in tests/test_multihost.py."""
+    from adunet.parallel import distributed
+
+    for n in (2, 3, 4):
+        shards = []
+        monkeypatch.setattr(distributed.jax, "process_count", lambda: n)
+        for pid in range(n):
+            monkeypatch.setattr(distributed.jax, "process_index", lambda p=pid: p)
+            shards.append(distributed.process_shard(list(range(10))))
+        assert len({len(s) for s in shards}) == 1  # equal lengths
+        # when n divides the count, shards are the plain disjoint stride-slices
+        if 10 % n == 0:
+            assert sorted(x for s in shards for x in s) == sorted(range(10))
+        # every global item appears in some shard
+        assert {x for s in shards for x in s} == set(range(10))
+
+    # fewer items than processes: recycle rather than hand out empty shards
+    monkeypatch.setattr(distributed.jax, "process_count", lambda: 4)
+    monkeypatch.setattr(distributed.jax, "process_index", lambda: 3)
+    assert distributed.process_shard(["only"]) == ["only"]
+    assert distributed.process_shard([]) == []
