@@ -16,12 +16,15 @@ from typing import List, Optional
 
 
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(description="Export a trained SR model to a StableHLO serving artifact.")
+    parser = argparse.ArgumentParser(description="Export a trained model to a StableHLO serving artifact.")
+    parser.add_argument("--workload", choices=["sr", "seg"], default="sr")
     parser.add_argument("--model-path", type=Path, required=True,
-                        help="Orbax checkpoint root (directory written by train_sr).")
-    parser.add_argument("--scale", type=float, required=True)
+                        help="Orbax checkpoint root (directory written by train_sr / train_seg).")
+    parser.add_argument("--scale", type=float, default=None,
+                        help="SR encoder shrink ratio (required for --workload sr).")
     parser.add_argument("--output-dir", type=Path, required=True)
-    parser.add_argument("--patch-size", type=int, default=256)
+    parser.add_argument("--patch-size", type=int, default=256,
+                        help="SR tile size / seg image size of the exported program.")
     parser.add_argument("--batch-size", type=int, default=8,
                         help="Static tile-batch size of the exported program.")
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
@@ -30,6 +33,39 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--latest", action="store_true",
                         help="Export the most recent checkpoint instead of the best-val one.")
     return parser.parse_args(argv)
+
+
+def load_seg_checkpoint_state(model_path: Path, depth_override=None, best: bool = True):
+    """Rebuild the protocol seg U-Net from the checkpoint's config.json and
+    restore Orbax weights + BatchNorm statistics."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.models import build_adaptive_depth_unet
+    from adunet.train import CheckpointManager, create_train_state, make_optimizer
+
+    model_path = Path(model_path).expanduser()
+    cfg_file = model_path / "config.json"
+    saved = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    image_size = int(saved.get("image_size", 256))
+    depth = int(depth_override or saved.get("depth", 4))
+    base_channels = int(saved.get("base_channels", 64))
+
+    model = build_adaptive_depth_unet(image_size, base_channels=base_channels, depth=depth)
+    sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), sample, make_optimizer(1e-3))
+    mngr = CheckpointManager(model_path, monitor="val_dice", mode="max")
+    # weights-only restore: the serving consumer need not reconstruct the
+    # training-time optimizer (protocol cosine schedules etc.) just to load
+    restored = (mngr.restore_best_weights(state) if best
+                else mngr.restore_latest_weights(state))
+    mngr.close()
+    if restored is None:
+        raise FileNotFoundError(f"No checkpoints found under {model_path}")
+    return restored, model, {"image_size": image_size, "depth": depth,
+                             "base_channels": base_channels}
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -41,33 +77,43 @@ def main(argv: Optional[List[str]] = None) -> None:
     import jax
     import numpy as np
 
-    from adunet.cli.evaluate import load_checkpoint_state
-    from adunet.export import export_sr_forward, save_artifact
+    from adunet.export import export_seg_forward, export_sr_forward, save_artifact
 
-    state, _model, info = load_checkpoint_state(
-        args.model_path, args.scale, args.patch_size, args.depth_override,
-        best=not args.latest,
-    )
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
-    exported = export_sr_forward(
-        state, patch_size=args.patch_size, batch_size=args.batch_size,
-        platforms=platforms,
+    if args.workload == "sr":
+        if args.scale is None:
+            raise SystemExit("--scale is required for --workload sr")
+        from adunet.cli.evaluate import load_checkpoint_state
+
+        state, _model, info = load_checkpoint_state(
+            args.model_path, args.scale, args.patch_size, args.depth_override,
+            best=not args.latest,
+        )
+        exported = export_sr_forward(
+            state, patch_size=args.patch_size, batch_size=args.batch_size,
+            platforms=platforms,
+        )
+        meta = {"model": "adaptive_sr_unet", "scale": args.scale, "depth": info["depth"]}
+    else:
+        state, _model, info = load_seg_checkpoint_state(
+            args.model_path, args.depth_override, best=not args.latest,
+        )
+        exported = export_seg_forward(
+            state, image_size=info["image_size"], batch_size=args.batch_size,
+            platforms=platforms,
+        )
+        meta = {"model": "adaptive_seg_unet", "depth": info["depth"],
+                "image_size": info["image_size"]}
+
+    meta.update(
+        param_count=int(sum(
+            int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
+        )),
+        checkpoint=str(Path(args.model_path).expanduser()),
     )
-    out = save_artifact(
-        exported,
-        args.output_dir,
-        meta={
-            "model": "adaptive_sr_unet",
-            "scale": args.scale,
-            "depth": info["depth"],
-            "param_count": int(sum(
-                int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
-            )),
-            "checkpoint": str(Path(args.model_path).expanduser()),
-        },
-    )
+    out = save_artifact(exported, args.output_dir, meta=meta)
     size_mb = (out / "model.stablehlo").stat().st_size / 1e6
-    print(f"[export] depth-{info['depth']} model -> {out} "
+    print(f"[export] {meta['model']} depth-{info['depth']} -> {out} "
           f"({size_mb:.1f} MB, platforms={list(platforms)})")
 
 

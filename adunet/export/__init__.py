@@ -3,6 +3,7 @@
 from adunet.export.aot import (
     ARTIFACT_FILE,
     MANIFEST_FILE,
+    export_seg_forward,
     export_sr_forward,
     load_artifact,
     save_artifact,
@@ -11,6 +12,7 @@ from adunet.export.aot import (
 __all__ = [
     "ARTIFACT_FILE",
     "MANIFEST_FILE",
+    "export_seg_forward",
     "export_sr_forward",
     "load_artifact",
     "save_artifact",

@@ -52,6 +52,40 @@ def export_sr_forward(
     return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
 
 
+def export_seg_forward(
+    state: Any,
+    image_size: int,
+    batch_size: int,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+):
+    """Export the seg inference forward (images -> mask probabilities) with
+    params AND BatchNorm running statistics baked in as constants.
+
+    The exported signature is
+    ``f(images: f32[batch, size, size, 3]) -> f32[batch, size, size, C]``
+    (C = 1 sigmoid channel or num_classes softmax channels — whatever head
+    the checkpointed model carries).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    params = jax.device_get(state.params)
+    batch_stats = (
+        jax.device_get(state.batch_stats) if state.batch_stats is not None else None
+    )
+    apply_fn = state.apply_fn
+
+    def forward(images):
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        return apply_fn(variables, images, train=False).astype(jnp.float32)
+
+    spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3), jnp.float32)
+    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+
+
 def save_artifact(
     exported: Any,
     out_dir: str | Path,

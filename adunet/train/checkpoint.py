@@ -81,6 +81,37 @@ class CheckpointManager:
         tree = self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
         return pytree_into_state(state, tree)
 
+    def _restore_weights(self, step: int, state: TrainState) -> TrainState:
+        """Restore params (+ batch_stats) only — for inference/export consumers
+        whose optimizer need not match the one that wrote the checkpoint."""
+        tree = {"step": state.step, "params": state.params}
+        if state.batch_stats is not None:
+            tree["batch_stats"] = state.batch_stats
+        abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, tree)
+        restored = self._mngr.restore(
+            step,
+            args=ocp.args.PyTreeRestore(
+                item=abstract,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(abstract),
+                partial_restore=True,  # skip the opt_state subtree entirely
+            ),
+        )
+        return state.replace(
+            step=int(np.asarray(restored["step"])),
+            params=restored["params"],
+            batch_stats=restored.get("batch_stats", state.batch_stats),
+        )
+
+    def restore_latest_weights(self, state: TrainState) -> Optional[TrainState]:
+        step = self._mngr.latest_step()
+        return None if step is None else self._restore_weights(step, state)
+
+    def restore_best_weights(self, state: TrainState) -> Optional[TrainState]:
+        step = self._mngr.best_step()
+        if step is None:
+            step = self._mngr.latest_step()
+        return None if step is None else self._restore_weights(step, state)
+
     def restore_latest(self, state: TrainState) -> Optional[TrainState]:
         step = self._mngr.latest_step()
         if step is None:

@@ -86,6 +86,88 @@ def test_cross_platform_export_lowers_for_tpu(tiny_state):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_seg_export_bakes_batch_stats(tmp_path):
+    """Seg export must freeze params AND BatchNorm running statistics; the
+    artifact output must match the live eval-mode forward bit-for-bit."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.export import export_seg_forward, load_artifact, save_artifact
+    from adunet.models import build_adaptive_depth_unet
+    from adunet.train import create_train_state, make_optimizer, make_seg_train_step
+    from adunet.losses import make_hybrid_ce_dice_loss
+
+    model = build_adaptive_depth_unet(32, base_channels=8, depth=2)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-3)
+    )
+    # run a train step so batch_stats move off their init values — the export
+    # must capture the UPDATED statistics
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.random((4, 32, 32, 3), dtype=np.float32))
+    masks = jnp.asarray((rng.random((4, 32, 32, 1)) > 0.5).astype(np.float32))
+    step = make_seg_train_step(model, make_hybrid_ce_dice_loss(0.4, 0.6),
+                               augment=False, donate=False)
+    state, _ = step(state, (images, masks), jax.random.key(1))
+
+    exported = export_seg_forward(state, image_size=32, batch_size=4, platforms=("cpu",))
+    out = save_artifact(exported, tmp_path / "seg_artifact", meta={"model": "seg"})
+    call, _ = load_artifact(out)
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    want = np.asarray(model.apply(variables, images, train=False), np.float32)
+    got = np.asarray(call(images))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (4, 32, 32, 1)
+    assert (got >= 0).all() and (got <= 1).all()  # sigmoid head
+
+
+def test_export_cli_seg_workload(tmp_path):
+    """train_seg -> export_model --workload seg -> artifact runs."""
+    import jax.numpy as jnp
+
+    from adunet.cli.train_seg import main as seg_main
+    from adunet.cli.export_model import main as export_main
+    from adunet.export import load_artifact
+
+    root = tmp_path
+    (root / "ti").mkdir(); (root / "tm").mkdir()
+    (root / "vi").mkdir(); (root / "vm").mkdir()
+    rng = np.random.default_rng(1)
+    for split, n in (("t", 8), ("v", 4)):
+        for i in range(n):
+            img = rng.random((32, 32, 3), dtype=np.float32)
+            mask = np.zeros((32, 32), np.float32)
+            mask[8:24, 8:24] = 1.0
+            np.save(root / f"{split}i" / f"isic_{i:04d}.npy", img)
+            np.save(root / f"{split}m" / f"isic_{i:04d}_segmentation.npy", mask)
+
+    seg_main([
+        "--protocol", "A", "--epochs", "1", "--batch_size", "8",
+        "--base_channels", "8", "--depth", "2", "--image_size", "32",
+        "--train_images", str(root / "ti"), "--train_masks", str(root / "tm"),
+        "--val_images", str(root / "vi"), "--val_masks", str(root / "vm"),
+        "--model_dir", str(root / "models"), "--log_dir", str(root / "logs"),
+        "--run_name", "seg_export_e2e",
+    ])
+    export_main([
+        "--workload", "seg",
+        "--model-path", str(root / "models" / "seg_export_e2e"),
+        "--output-dir", str(root / "serving"),
+        "--batch-size", "2",
+        "--platforms", "cpu",
+    ])
+    manifest = json.loads((root / "serving" / "manifest.json").read_text())
+    assert manifest["model"] == "adaptive_seg_unet"
+    assert manifest["input_shape"] == [2, 32, 32, 3]
+
+    call, _ = load_artifact(root / "serving")
+    probe = jnp.asarray(np.random.default_rng(2).random((2, 32, 32, 3), dtype=np.float32))
+    mask = np.asarray(call(probe))
+    assert mask.shape == (2, 32, 32, 1)
+    assert np.isfinite(mask).all()
+
+
 @pytest.fixture(scope="module")
 def trained_ckpt(tmp_path_factory):
     """A real (tiny) train_sr run so export consumes a production checkpoint."""
