@@ -17,7 +17,7 @@ from typing import List, Optional
 
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser = argparse.ArgumentParser(description="Export a trained model to a StableHLO serving artifact.")
-    parser.add_argument("--workload", choices=["sr", "seg"], default="sr")
+    parser.add_argument("--workload", choices=["sr", "seg", "joint"], default="sr")
     parser.add_argument("--model-path", type=Path, required=True,
                         help="Orbax checkpoint root (directory written by train_sr / train_seg).")
     parser.add_argument("--scale", type=float, default=None,
@@ -68,6 +68,41 @@ def load_seg_checkpoint_state(model_path: Path, depth_override=None, best: bool 
                              "base_channels": base_channels}
 
 
+def load_joint_checkpoint_state(model_path: Path, best: bool = True):
+    """Rebuild the joint SR+seg model from the checkpoint's config.json and
+    restore weights."""
+    import json
+
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.models import build_joint_unet
+    from adunet.train import CheckpointManager, create_train_state, make_optimizer
+
+    model_path = Path(model_path).expanduser()
+    saved = json.loads((model_path / "config.json").read_text())
+    image_size = int(saved.get("image_size", 256))
+    model, info = build_joint_unet(
+        scale=float(saved.get("scale", 0.5)),
+        base_channels=int(saved.get("base_channels", 64)),
+        residual_head_channels=int(saved.get("residual_head_channels", 64)),
+        num_classes=int(saved.get("num_classes", 1)),
+        depth_override=int(saved["depth"]) if "depth" in saved else None,
+        input_size=image_size,
+    )
+    sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    state = create_train_state(model, jax.random.key(0), sample, make_optimizer(1e-4))
+    mngr = CheckpointManager(model_path, monitor="val_loss", mode="min")
+    restored = (mngr.restore_best_weights(state) if best
+                else mngr.restore_latest_weights(state))
+    mngr.close()
+    if restored is None:
+        raise FileNotFoundError(f"No checkpoints found under {model_path}")
+    info = dict(info)
+    info["image_size"] = image_size
+    return restored, model, info
+
+
 def main(argv: Optional[List[str]] = None) -> None:
     from adunet.utils.runtime import setup_runtime
 
@@ -94,7 +129,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             platforms=platforms,
         )
         meta = {"model": "adaptive_sr_unet", "scale": args.scale, "depth": info["depth"]}
-    else:
+    elif args.workload == "seg":
         state, _model, info = load_seg_checkpoint_state(
             args.model_path, args.depth_override, best=not args.latest,
         )
@@ -103,6 +138,18 @@ def main(argv: Optional[List[str]] = None) -> None:
             platforms=platforms,
         )
         meta = {"model": "adaptive_seg_unet", "depth": info["depth"],
+                "image_size": info["image_size"]}
+    else:
+        from adunet.export import export_joint_forward
+
+        state, _model, info = load_joint_checkpoint_state(
+            args.model_path, best=not args.latest,
+        )
+        exported = export_joint_forward(
+            state, image_size=info["image_size"], batch_size=args.batch_size,
+            platforms=platforms,
+        )
+        meta = {"model": "joint_sr_seg_unet", "depth": info["depth"],
                 "image_size": info["image_size"]}
 
     meta.update(

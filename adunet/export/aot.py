@@ -86,6 +86,35 @@ def export_seg_forward(
     return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
 
 
+def export_joint_forward(
+    state: Any,
+    image_size: int,
+    batch_size: int,
+    platforms: Sequence[str] = DEFAULT_PLATFORMS,
+):
+    """Export the joint SR+seg forward: images -> {"sr": ..., "mask": ...}.
+
+    Both heads ship in ONE program (shared encoder runs once); the exported
+    signature is ``f(f32[b,s,s,3]) -> {"sr": f32[b,s,s,3], "mask": f32[b,s,s,C]}``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import export as jax_export
+
+    params = jax.device_get(state.params)
+    apply_fn = state.apply_fn
+
+    def forward(images):
+        sr, mask = apply_fn({"params": params}, images, train=False)
+        return {
+            "sr": jnp.clip(sr.astype(jnp.float32), 0.0, 1.0),
+            "mask": mask.astype(jnp.float32),
+        }
+
+    spec = jax.ShapeDtypeStruct((batch_size, image_size, image_size, 3), jnp.float32)
+    return jax_export.export(jax.jit(forward), platforms=tuple(platforms))(spec)
+
+
 def save_artifact(
     exported: Any,
     out_dir: str | Path,

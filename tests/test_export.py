@@ -168,6 +168,84 @@ def test_export_cli_seg_workload(tmp_path):
     assert np.isfinite(mask).all()
 
 
+def test_export_cli_joint_workload(tmp_path):
+    """train_joint -> export_model --workload joint -> artifact runs."""
+    import jax.numpy as jnp
+
+    from adunet.cli.train_joint import main as joint_main
+    from adunet.cli.export_model import main as export_main
+    from adunet.export import load_artifact
+
+    root = tmp_path
+    for d in ("ti", "tm"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(7)
+    for i in range(8):
+        np.save(root / "ti" / f"im_{i:03d}.npy", rng.random((32, 32, 3), dtype=np.float32))
+        m = np.zeros((32, 32), np.float32)
+        m[4:20, 6:22] = 1.0
+        np.save(root / "tm" / f"im_{i:03d}_mask.npy", m)
+
+    joint_main([
+        "--train_image_dir", str(root / "ti"), "--train_mask_dir", str(root / "tm"),
+        "--image_suffix", ".npy", "--mask_suffix", "_mask.npy",
+        "--image_size", "32", "--scale", "0.5", "--depth_override", "1",
+        "--base_channels", "8", "--residual_head_channels", "8",
+        "--batch_size", "8", "--epochs", "1",
+        "--model_dir", str(root / "models"), "--log_dir", str(root / "logs"),
+        "--run_name", "jexp", "--seed", "4",
+    ])
+    export_main([
+        "--workload", "joint",
+        "--model-path", str(root / "models" / "jexp_best"),
+        "--output-dir", str(root / "serving"),
+        "--batch-size", "2",
+        "--platforms", "cpu",
+    ])
+    manifest = json.loads((root / "serving" / "manifest.json").read_text())
+    assert manifest["model"] == "joint_sr_seg_unet"
+
+    call, _ = load_artifact(root / "serving")
+    out = call(jnp.zeros((2, 32, 32, 3), jnp.float32))
+    assert set(out.keys()) == {"sr", "mask"}
+    assert np.asarray(out["sr"]).shape == (2, 32, 32, 3)
+    assert np.asarray(out["mask"]).shape == (2, 32, 32, 1)
+
+
+def test_joint_export_two_heads(tmp_path):
+    """One artifact, both heads: the shared encoder runs once and the program
+    returns {"sr", "mask"} matching the live model."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.export import export_joint_forward, load_artifact, save_artifact
+    from adunet.models import build_joint_unet
+    from adunet.train import create_train_state, make_optimizer
+
+    model, info = build_joint_unet(
+        scale=0.5, depth_override=2, input_size=32, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-4)
+    )
+    exported = export_joint_forward(state, image_size=32, batch_size=2, platforms=("cpu",))
+    out = save_artifact(exported, tmp_path / "joint_artifact",
+                        meta={"model": "joint_sr_seg_unet", "depth": info["depth"]})
+    call, manifest = load_artifact(out)
+    assert manifest["model"] == "joint_sr_seg_unet"
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), dtype=np.float32))
+    got = call(x)
+    sr_want, mask_want = model.apply({"params": state.params}, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got["sr"]), np.clip(np.asarray(sr_want, np.float32), 0, 1), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(got["mask"]), np.asarray(mask_want, np.float32), atol=1e-6
+    )
+
+
 @pytest.fixture(scope="module")
 def trained_ckpt(tmp_path_factory):
     """A real (tiny) train_sr run so export consumes a production checkpoint."""
