@@ -23,8 +23,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--scale", type=float, default=None,
                         help="SR encoder shrink ratio (required for --workload sr).")
     parser.add_argument("--output-dir", type=Path, required=True)
-    parser.add_argument("--patch-size", type=int, default=256,
-                        help="SR tile size / seg image size of the exported program.")
+    parser.add_argument("--patch-size", type=int, default=None,
+                        help="Static spatial size of the exported program. SR default: "
+                             "256. seg/joint default: the checkpoint's training "
+                             "image_size (the convolutional models are size-agnostic, "
+                             "so any explicit size is honored).")
     parser.add_argument("--batch-size", type=int, default=8,
                         help="Static tile-batch size of the exported program.")
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
@@ -48,7 +51,14 @@ def load_seg_checkpoint_state(model_path: Path, depth_override=None, best: bool 
 
     model_path = Path(model_path).expanduser()
     cfg_file = model_path / "config.json"
-    saved = json.loads(cfg_file.read_text()) if cfg_file.exists() else {}
+    if not cfg_file.exists():
+        # silently guessing the architecture would let a wrong-sized default
+        # model restore successfully (conv params are size-agnostic)
+        raise FileNotFoundError(
+            f"{cfg_file} not found — the seg checkpoint predates the end-of-run "
+            "config dump (interrupted run?); cannot rebuild the architecture."
+        )
+    saved = json.loads(cfg_file.read_text())
     image_size = int(saved.get("image_size", 256))
     depth = int(depth_override or saved.get("depth", 4))
     base_channels = int(saved.get("base_channels", 64))
@@ -80,7 +90,13 @@ def load_joint_checkpoint_state(model_path: Path, best: bool = True):
     from adunet.train import CheckpointManager, create_train_state, make_optimizer
 
     model_path = Path(model_path).expanduser()
-    saved = json.loads((model_path / "config.json").read_text())
+    cfg_file = model_path / "config.json"
+    if not cfg_file.exists():
+        raise FileNotFoundError(
+            f"{cfg_file} not found — cannot rebuild the joint architecture "
+            "(interrupted run?)."
+        )
+    saved = json.loads(cfg_file.read_text())
     image_size = int(saved.get("image_size", 256))
     model, info = build_joint_unet(
         scale=float(saved.get("scale", 0.5)),
@@ -92,7 +108,11 @@ def load_joint_checkpoint_state(model_path: Path, best: bool = True):
     )
     sample = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
     state = create_train_state(model, jax.random.key(0), sample, make_optimizer(1e-4))
-    mngr = CheckpointManager(model_path, monitor="val_loss", mode="min")
+    # train_joint monitors val_loss only when validation dirs were given;
+    # otherwise it checkpoints on train loss — selecting on a metric no
+    # checkpoint carries would tie every step at -inf and pick arbitrarily
+    monitor = "val_loss" if saved.get("val_image_dir") else "loss"
+    mngr = CheckpointManager(model_path, monitor=monitor, mode="min")
     restored = (mngr.restore_best_weights(state) if best
                 else mngr.restore_latest_weights(state))
     mngr.close()
@@ -120,12 +140,13 @@ def main(argv: Optional[List[str]] = None) -> None:
             raise SystemExit("--scale is required for --workload sr")
         from adunet.cli.evaluate import load_checkpoint_state
 
+        patch_size = args.patch_size or 256
         state, _model, info = load_checkpoint_state(
-            args.model_path, args.scale, args.patch_size, args.depth_override,
+            args.model_path, args.scale, patch_size, args.depth_override,
             best=not args.latest,
         )
         exported = export_sr_forward(
-            state, patch_size=args.patch_size, batch_size=args.batch_size,
+            state, patch_size=patch_size, batch_size=args.batch_size,
             platforms=platforms,
         )
         meta = {"model": "adaptive_sr_unet", "scale": args.scale, "depth": info["depth"]}
@@ -133,24 +154,26 @@ def main(argv: Optional[List[str]] = None) -> None:
         state, _model, info = load_seg_checkpoint_state(
             args.model_path, args.depth_override, best=not args.latest,
         )
+        size = args.patch_size or info["image_size"]
         exported = export_seg_forward(
-            state, image_size=info["image_size"], batch_size=args.batch_size,
+            state, image_size=size, batch_size=args.batch_size,
             platforms=platforms,
         )
         meta = {"model": "adaptive_seg_unet", "depth": info["depth"],
-                "image_size": info["image_size"]}
+                "image_size": size}
     else:
         from adunet.export import export_joint_forward
 
         state, _model, info = load_joint_checkpoint_state(
             args.model_path, best=not args.latest,
         )
+        size = args.patch_size or info["image_size"]
         exported = export_joint_forward(
-            state, image_size=info["image_size"], batch_size=args.batch_size,
+            state, image_size=size, batch_size=args.batch_size,
             platforms=platforms,
         )
         meta = {"model": "joint_sr_seg_unet", "depth": info["depth"],
-                "image_size": info["image_size"]}
+                "image_size": size}
 
     meta.update(
         param_count=int(sum(

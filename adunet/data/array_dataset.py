@@ -30,10 +30,17 @@ class ArrayDataset:
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.seed = seed
+        # loud error instead of a ragged "first" batch that later fails to
+        # shard over the mesh (same contract as SegPairDataset)
+        if drop_remainder and n < batch_size:
+            raise ValueError(
+                f"drop_remainder=True but only {n} samples for "
+                f"batch_size={batch_size} — not enough for one full batch."
+            )
         self.drop_remainder = drop_remainder
         self._epoch = 0
         if drop_remainder:
-            self.steps_per_epoch = max(1, n // batch_size)
+            self.steps_per_epoch = n // batch_size
         else:
             self.steps_per_epoch = math.ceil(n / batch_size)
 
@@ -49,7 +56,7 @@ class ArrayDataset:
         self._epoch += 1
         for start in range(0, n, self.batch_size):
             idx = order[start : start + self.batch_size]
-            if self.drop_remainder and len(idx) < self.batch_size and start > 0:
+            if self.drop_remainder and len(idx) < self.batch_size:
                 return
             yield tuple(a[idx] for a in self.arrays)
 

@@ -13,6 +13,7 @@ from adunet.export.aot import (
 __all__ = [
     "ARTIFACT_FILE",
     "MANIFEST_FILE",
+    "export_joint_forward",
     "export_seg_forward",
     "export_sr_forward",
     "load_artifact",

@@ -273,3 +273,24 @@ def test_device_cache_sampling():
         from adunet.data import load_device_cache as ldc
         with _pytest.raises(ValueError, match="uniform"):
             ldc([str(Path(tmp) / "a.npy"), str(Path(tmp) / "b.npy")])
+
+
+def test_array_dataset_drop_remainder_contract():
+    """drop_remainder must never emit a ragged batch (mesh-sharded consumers
+    compile one static batch shape) and must be a loud error when even one
+    full batch is impossible."""
+    import pytest
+
+    from adunet.data import ArrayDataset
+
+    x = np.arange(10, dtype=np.float32).reshape(10, 1)
+    ds = ArrayDataset(x, x, batch_size=4, shuffle=False, seed=0, drop_remainder=True)
+    assert ds.steps_per_epoch == 2
+    assert [b[0].shape[0] for b in ds] == [4, 4]  # ragged tail of 2 dropped
+
+    ds2 = ArrayDataset(x, x, batch_size=4, shuffle=False, seed=0)
+    assert [b[0].shape[0] for b in ds2] == [4, 4, 2]
+
+    with pytest.raises(ValueError, match="drop_remainder"):
+        ArrayDataset(x[:3], x[:3], batch_size=4, shuffle=False, seed=0,
+                     drop_remainder=True)

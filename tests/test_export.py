@@ -167,6 +167,19 @@ def test_export_cli_seg_workload(tmp_path):
     assert mask.shape == (2, 32, 32, 1)
     assert np.isfinite(mask).all()
 
+    # --patch-size overrides the training image_size (convs are size-agnostic)
+    export_main([
+        "--workload", "seg",
+        "--model-path", str(root / "models" / "seg_export_e2e"),
+        "--output-dir", str(root / "serving64"),
+        "--batch-size", "1", "--patch-size", "64",
+        "--platforms", "cpu",
+    ])
+    call64, manifest64 = load_artifact(root / "serving64")
+    assert manifest64["input_shape"] == [1, 64, 64, 3]
+    out64 = np.asarray(call64(jnp.zeros((1, 64, 64, 3), jnp.float32)))
+    assert out64.shape == (1, 64, 64, 1) and np.isfinite(out64).all()
+
 
 def test_export_cli_joint_workload(tmp_path):
     """train_joint -> export_model --workload joint -> artifact runs."""
