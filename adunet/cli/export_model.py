@@ -32,6 +32,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         help="Static tile-batch size of the exported program.")
     parser.add_argument("--platforms", type=str, default="tpu,cpu",
                         help="Comma-separated lowering targets baked into the artifact.")
+    parser.add_argument("--quantize", choices=["int8"], default=None,
+                        help="Weight-only quantization: conv kernels baked as int8 + "
+                             "per-channel scales (~4x smaller artifact; dequantized "
+                             "inside the program).")
     parser.add_argument("--depth-override", type=int, default=None)
     parser.add_argument("--latest", action="store_true",
                         help="Export the most recent checkpoint instead of the best-val one.")
@@ -147,7 +151,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         )
         exported = export_sr_forward(
             state, patch_size=patch_size, batch_size=args.batch_size,
-            platforms=platforms,
+            platforms=platforms, quantize=args.quantize,
         )
         meta = {"model": "adaptive_sr_unet", "scale": args.scale, "depth": info["depth"]}
     elif args.workload == "seg":
@@ -157,7 +161,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         size = args.patch_size or info["image_size"]
         exported = export_seg_forward(
             state, image_size=size, batch_size=args.batch_size,
-            platforms=platforms,
+            platforms=platforms, quantize=args.quantize,
         )
         meta = {"model": "adaptive_seg_unet", "depth": info["depth"],
                 "image_size": size}
@@ -170,11 +174,13 @@ def main(argv: Optional[List[str]] = None) -> None:
         size = args.patch_size or info["image_size"]
         exported = export_joint_forward(
             state, image_size=size, batch_size=args.batch_size,
-            platforms=platforms,
+            platforms=platforms, quantize=args.quantize,
         )
         meta = {"model": "joint_sr_seg_unet", "depth": info["depth"],
                 "image_size": size}
 
+    if args.quantize:
+        meta["quantization"] = f"{args.quantize}-weight-only"
     meta.update(
         param_count=int(sum(
             int(np.prod(p.shape)) for p in jax.tree_util.tree_leaves(state.params)
@@ -182,9 +188,10 @@ def main(argv: Optional[List[str]] = None) -> None:
         checkpoint=str(Path(args.model_path).expanduser()),
     )
     out = save_artifact(exported, args.output_dir, meta=meta)
-    size_mb = (out / "model.stablehlo").stat().st_size / 1e6
+    size_mb = sum(f.stat().st_size for f in out.iterdir() if f.is_file()) / 1e6
     print(f"[export] {meta['model']} depth-{info['depth']} -> {out} "
-          f"({size_mb:.1f} MB, platforms={list(platforms)})")
+          f"({size_mb:.2f} MB, platforms={list(platforms)}"
+          + (f", {args.quantize} weight-only" if args.quantize else "") + ")")
 
 
 if __name__ == "__main__":

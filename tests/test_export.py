@@ -86,6 +86,61 @@ def test_cross_platform_export_lowers_for_tpu(tiny_state):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_int8_weight_only_quantized_export(tmp_path):
+    """--quantize int8 bakes conv kernels as int8 + per-channel scales: the
+    artifact must shrink substantially and stay close to the f32 program.
+    Uses a ~600K-param model so weight bytes dominate the HLO overhead."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.export import export_sr_forward, load_artifact, save_artifact
+    from adunet.export.aot import quantize_params_int8
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer
+
+    model, _info = build_super_resolution_unet(
+        scale=0.5, depth_override=2, input_size=32, base_channels=32,
+        residual_head_channels=32,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-4)
+    )
+
+    # quantization structure: 4-D kernels -> {q:int8, scale:f32[C]}, rest f32
+    qtree = quantize_params_int8(state.params)
+    kernels = [l for l in jax.tree_util.tree_leaves(state.params) if l.ndim == 4]
+    qdicts = []
+    def walk(t):
+        if isinstance(t, dict) and set(t) == {"q", "scale"}:
+            qdicts.append(t)
+            return
+        if isinstance(t, dict):
+            for v in t.values():
+                walk(v)
+    walk(qtree)
+    assert len(qdicts) == len(kernels) and kernels
+    assert all(d["q"].dtype == np.int8 for d in qdicts)
+
+    full = export_sr_forward(state, patch_size=32, batch_size=2, platforms=("cpu",))
+    quant = export_sr_forward(state, patch_size=32, batch_size=2, platforms=("cpu",),
+                              quantize="int8")
+    full_dir = save_artifact(full, tmp_path / "full")
+    quant_dir = save_artifact(quant, tmp_path / "int8", meta={"quantization": "int8-weight-only"})
+    full_bytes = (full_dir / "model.stablehlo").stat().st_size
+    quant_bytes = ((quant_dir / "model.stablehlo").stat().st_size
+                   + (quant_dir / "weights.npz").stat().st_size)
+    assert quant_bytes < 0.55 * full_bytes, (quant_bytes, full_bytes)
+
+    call, manifest = load_artifact(quant_dir)
+    assert manifest["quantization"] == "int8-weight-only"
+    x = jnp.asarray(np.random.default_rng(5).random((2, 32, 32, 3), dtype=np.float32))
+    got = np.asarray(call(x))
+    want = np.clip(np.asarray(model.apply({"params": state.params}, x)), 0.0, 1.0)
+    # weight-only int8 with per-channel scales: small but nonzero error
+    assert np.abs(got - want).max() < 0.05
+    assert np.abs(got - want).mean() < 0.005
+
+
 def test_seg_export_bakes_batch_stats(tmp_path):
     """Seg export must freeze params AND BatchNorm running statistics; the
     artifact output must match the live eval-mode forward bit-for-bit."""
