@@ -152,8 +152,13 @@ def train(args: argparse.Namespace) -> dict:
         "steps_per_epoch": steps_per_epoch,
         "created_at": timestamp,
     }
-    (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
-    ckpt.write_config(config_payload)
+    from adunet.parallel.distributed import is_main_process
+
+    main = is_main_process()  # host-side artifacts are process-0-only
+    if main:
+        (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
+    if main:
+        ckpt.write_config(config_payload)
     print(f"Joint model: depth={info['depth']} params={n_params:,} devices={n_dev}")
 
     train_step = make_joint_train_step(
@@ -180,7 +185,7 @@ def train(args: argparse.Namespace) -> dict:
         restore_best_weights=True,
         ckpt=ckpt,
         mesh=mesh,
-        log_dir=run_dir,
+        log_dir=run_dir if main else None,
     )
 
     payload = {
@@ -194,7 +199,8 @@ def train(args: argparse.Namespace) -> dict:
         "checkpoint": str(ckpt_dir),
         "created_at": timestamp,
     }
-    (run_dir / "result.json").write_text(json.dumps(payload, indent=2, default=str))
+    if main:
+        (run_dir / "result.json").write_text(json.dumps(payload, indent=2, default=str))
     ckpt.close()
     return payload
 

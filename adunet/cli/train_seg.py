@@ -142,14 +142,18 @@ def train(cfg) -> dict:
         table = nn.tabulate(model, jax.random.key(0), compute_flops=False)(sample, train=False)
     except Exception:
         table = repr(model)
-    (run_dir / "model_summary.txt").write_text(f"{table}\nTotal params: {n_params:,}\n")
+    from adunet.parallel.distributed import is_main_process
+
+    main = is_main_process()  # host-side artifacts are process-0-only
+    if main:
+        (run_dir / "model_summary.txt").write_text(f"{table}\nTotal params: {n_params:,}\n")
 
     ckpt = CheckpointManager(ckpt_dir, monitor="val_dice", mode="max")
 
     try:
         from tensorboardX import SummaryWriter
 
-        tb_writer = SummaryWriter(str(run_dir))
+        tb_writer = SummaryWriter(str(run_dir)) if main else None
     except Exception:
         tb_writer = None
 
@@ -171,7 +175,7 @@ def train(cfg) -> dict:
         restore_best_weights=True,
         ckpt=ckpt,
         mesh=mesh,
-        log_dir=run_dir,
+        log_dir=run_dir if main else None,
         tb_writer=tb_writer,
     )
     state = result.state
@@ -213,8 +217,10 @@ def train(cfg) -> dict:
         "metrics": eval_metrics,
         "created_at": timestamp,
     }
-    (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
-    ckpt.write_config(config_payload)
+    if main:
+        (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
+    if main:
+        ckpt.write_config(config_payload)
 
     print("Validation metrics:")
     for key, value in eval_metrics.items():

@@ -90,6 +90,9 @@ def train(args: argparse.Namespace) -> dict:
     from adunet.parallel.distributed import process_shard
 
     train_pairs = process_shard(train_pairs)  # multi-host slice (equal lengths)
+    from adunet.parallel.distributed import is_main_process
+
+    _is_main = is_main_process()  # host-side artifacts are process-0-only
     val_pairs = discover_pairs(
         args.val_image_dir.expanduser(), args.val_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_val,
@@ -184,7 +187,7 @@ def train(args: argparse.Namespace) -> dict:
                               "factor": 0.5, "patience": 5, "min_lr": 1e-6},
         ckpt=ckpt,
         mesh=mesh,
-        log_dir=run_dir,
+        log_dir=run_dir if _is_main else None,
     )
     state = result.state
 
@@ -206,7 +209,8 @@ def train(args: argparse.Namespace) -> dict:
         "final_checkpoint": str(final_dir),
         "created_at": timestamp,
     }
-    (run_dir / "config.json").write_text(json.dumps(payload, indent=2, default=str))
+    if _is_main:
+        (run_dir / "config.json").write_text(json.dumps(payload, indent=2, default=str))
     ckpt.close()
     return payload
 

@@ -261,21 +261,29 @@ def train(cfg) -> dict:
         "low_res_mode": "paired_directory" if paired else "synthetic_patches",
         "created_at": timestamp,
     }
-    (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
-    try:
-        from flax import linen as nn
+    # host-side run artifacts are process-0-only on multi-host (every process
+    # sees the same run_dir on a shared FS — concurrent writers clobber);
+    # Orbax checkpoint saves stay on ALL processes (distributed save protocol)
+    from adunet.parallel.distributed import is_main_process
 
-        table = nn.tabulate(model, jax.random.key(0), compute_flops=False)(sample[:1])
-    except Exception:
-        table = repr(model)
-    (run_dir / "model_summary.txt").write_text(
-        f"{table}\nTotal params: {n_params:,}\ndepth: {info['depth']}\n"
-        f"bottleneck: {info['bottleneck_size']}px\n"
-    )
+    main = is_main_process()
+    if main:
+        (run_dir / "config.json").write_text(json.dumps(config_payload, indent=2, default=str))
+        try:
+            from flax import linen as nn
+
+            table = nn.tabulate(model, jax.random.key(0), compute_flops=False)(sample[:1])
+        except Exception:
+            table = repr(model)
+        (run_dir / "model_summary.txt").write_text(
+            f"{table}\nTotal params: {n_params:,}\ndepth: {info['depth']}\n"
+            f"bottleneck: {info['bottleneck_size']}px\n"
+        )
     print(f"Model: depth={info['depth']} params={n_params:,} devices={n_dev}")
 
     ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
-    ckpt.write_config(config_payload)
+    if main:
+        ckpt.write_config(config_payload)
 
     initial_epoch = cfg.initial_epoch
     if cfg.resume_from:
@@ -302,7 +310,7 @@ def train(cfg) -> dict:
     try:
         from tensorboardX import SummaryWriter
 
-        tb_writer = SummaryWriter(str(run_dir))
+        tb_writer = SummaryWriter(str(run_dir)) if main else None
     except Exception:
         tb_writer = None
 
@@ -398,7 +406,7 @@ def train(cfg) -> dict:
         restore_best_weights=True,
         ckpt=ckpt,
         mesh=mesh,
-        log_dir=run_dir,
+        log_dir=run_dir if main else None,
         tb_writer=tb_writer,
         samples_per_step=samples_per_step,
         profile_dir=(run_dir / "profile") if cfg.profile else None,

@@ -177,6 +177,9 @@ def train(args: argparse.Namespace) -> dict:
     ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
 
     steps_per_epoch = train_ds.steps_per_epoch
+    from adunet.parallel.distributed import is_main_process
+
+    _is_main = is_main_process()  # host-side artifacts are process-0-only
     result = fit(
         state,
         repeat(train_ds),
@@ -190,7 +193,7 @@ def train(args: argparse.Namespace) -> dict:
         patience=args.patience,
         ckpt=ckpt,
         mesh=mesh,
-        log_dir=run_dir,
+        log_dir=run_dir if _is_main else None,
     )
     state = result.state
 
@@ -210,7 +213,8 @@ def train(args: argparse.Namespace) -> dict:
         "results": results,
         "created_at": timestamp,
     }
-    (run_dir / "config.json").write_text(json.dumps(payload, indent=2, default=str))
+    if _is_main:
+        (run_dir / "config.json").write_text(json.dumps(payload, indent=2, default=str))
     ckpt.close()
     return payload
 

@@ -41,6 +41,15 @@ def process_shard(seq):
     return [seq[i % len(seq)] for i in range(pid, pid + n * per, n)]
 
 
+def is_main_process() -> bool:
+    """True on the process that should write host-side artifacts (run
+    config/summary/CSV/TensorBoard). On shared filesystems every process
+    sees the same run_dir, so non-main writers would race and clobber.
+    Orbax checkpoint saves are NOT gated by this — all processes must
+    participate in a distributed save."""
+    return jax.process_index() == 0
+
+
 def process_seed(seed: int) -> int:
     """Decorrelate per-process RNG streams (random patch sampling)."""
     return int(seed) + jax.process_index() * 1_000_003

@@ -139,3 +139,99 @@ def test_two_process_distributed_training_matches_single_process(tmp_path):
     _, metrics = step(state, shard_batch(global_batch, mesh), None)
     single = float(np.asarray(metrics["loss"]))
     assert losses[0] == pytest.approx(single, rel=1e-6)
+
+
+_CLI_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from adunet.parallel import maybe_initialize_distributed
+
+assert maybe_initialize_distributed(), "distributed init did not engage"
+assert jax.process_count() == 2
+
+from adunet.cli.train_sr import main as train_main
+
+data_dir = sys.argv[1]
+out_dir = sys.argv[2]
+train_main([
+    "--scale", "0.5", "--depth_override", "1",
+    "--base_channels", "8", "--residual_head_channels", "8",
+    "--patch_size", "32", "--patches_per_image", "4",
+    "--batch_size", "8", "--epochs", "2", "--patience", "9",
+    "--eval_shave", "2",  # SSIM's 11px window must fit the shaved patch
+    "--high_res_dir", data_dir, "--image_suffix", ".npy",
+    "--model_dir", out_dir + "/models", "--log_dir", out_dir + "/logs",
+    "--run_name", "mh", "--seed", "5",
+    "--device_cache",
+])
+print("CLI_WORKER_DONE", flush=True)
+"""
+
+
+def test_two_process_train_sr_cli_end_to_end(tmp_path):
+    """The PRODUCTION train_sr CLI (device-cache feed, Orbax checkpointing,
+    process-0-gated run artifacts) across two real jax.distributed processes.
+    Catches the integration bugs unit steps cannot: divergent step counts,
+    non-replicated device caches, artifact write races, distributed Orbax
+    saves."""
+    data = tmp_path / "hr"
+    data.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(8):
+        np.save(data / f"im{i}.npy", rng.random((32, 32, 3), dtype=np.float32))
+    out = tmp_path / "out"
+    worker = tmp_path / "cli_worker.py"
+    worker.write_text(_CLI_WORKER)
+
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=2",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="2",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=str(Path(__file__).resolve().parents[1]),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker), str(data), str(out)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        stdout, stderr = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{stdout}\n{stderr}"
+        assert "CLI_WORKER_DONE" in stdout
+        outs.append(stdout)
+
+    # both processes executed identical global steps: the printed metric
+    # fields (collective means) must match exactly; wall-clock timing
+    # fields naturally differ per process
+    def epoch_lines(text):
+        return [l[l.index("loss:"):] for l in text.splitlines()
+                if l.startswith("Epoch ") and "loss:" in l]
+
+    assert epoch_lines(outs[0]) == epoch_lines(outs[1])
+    assert len(epoch_lines(outs[0])) == 2
+
+    # process-0-only run artifacts, written exactly once
+    run_dir = out / "logs" / "mh"
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "model_summary.txt").exists()
+    rows = (run_dir / "epoch_metrics.csv").read_text().strip().splitlines()
+    assert len(rows) == 3  # header + 2 epochs (no duplicate writers)
+
+    # the distributed Orbax save completed and restores on a single process
+    import json
+
+    cfg = json.loads((run_dir / "config.json").read_text())
+    assert cfg["n_devices"] == 4  # global mesh spanned both processes
+    ckpts = list((out / "models").glob("unet_adaptive_scale0.50_depth1"))
+    assert ckpts
