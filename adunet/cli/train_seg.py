@@ -75,6 +75,10 @@ def train(cfg) -> dict:
     maybe_initialize_distributed()
     protocol = PROTOCOLS[cfg.protocol]
 
+    # on a >1-device mesh (or multi-host) every train batch must have the
+    # compiled shape — a ragged tail cannot shard over the data axis
+    pad_tail = (cfg.n_devices or jax.device_count()) > 1 or jax.process_count() > 1
+
     train_ds, train_count = build_isic_dataset(
         cfg.train_images,
         cfg.train_masks,
@@ -82,6 +86,7 @@ def train(cfg) -> dict:
         image_size=cfg.image_size,
         augment=cfg.augment,
         shuffle=True,
+        pad_tail=pad_tail,
         seed=cfg.seed,
         limit=cfg.limit,
         shard_across_processes=True,

@@ -103,6 +103,8 @@ def train(args: argparse.Namespace) -> dict:
         train_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=args.augment, shuffle=True, seed=args.seed,
         num_classes=args.num_classes,
+        # ragged tails cannot shard over a >1-device data axis
+        pad_tail=(args.n_devices or jax.device_count()) > 1 or jax.process_count() > 1,
     )
     val_ds = SegPairDataset(
         val_pairs, batch_size=args.batch_size, image_size=args.image_size,

@@ -43,6 +43,7 @@ class SegPairDataset:
         prefetch_batches: int = 4,
         num_classes: int = 1,
         drop_remainder: bool = False,
+        pad_tail: bool = False,
     ):
         pairs = list(pairs)
         if not pairs:
@@ -63,6 +64,13 @@ class SegPairDataset:
                 f"batch_size={batch_size} — not enough samples for one full batch."
             )
         self.drop_remainder = drop_remainder
+        # pad_tail: wrap-fill a ragged final batch from the start of the
+        # epoch order so EVERY batch has the compiled shape. Required on a
+        # multi-device mesh / multi-host run: a tail that does not divide
+        # the data axis cannot be device_put with the batch sharding, and a
+        # second batch shape would force a recompile anyway. Single-device
+        # runs keep the reference's ragged-tail semantics by default.
+        self.pad_tail = pad_tail and not drop_remainder
         self._epoch = 0
         if self.drop_remainder:
             self.steps_per_epoch = len(pairs) // batch_size
@@ -94,6 +102,14 @@ class SegPairDataset:
                 yield np.stack(images), np.stack(masks)
                 images, masks = [], []
         if images and not self.drop_remainder:
+            if self.pad_tail:
+                k = 0
+                while len(images) < self.batch_size:  # wrap-fill (cycles for
+                    idx = order[k % len(order)]       # pairs < batch_size)
+                    k += 1
+                    img, msk = self._load_pair(*self.pairs[idx])
+                    images.append(img)
+                    masks.append(msk)
             yield np.stack(images), np.stack(masks)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -128,6 +144,7 @@ def build_isic_dataset(
     seed: int,
     limit: Optional[int] = None,
     shard_across_processes: bool = False,
+    pad_tail: bool = False,
 ) -> Tuple[SegPairDataset, int]:
     """Signature-parity constructor (Segmenation trainer :193-219).
 
@@ -149,5 +166,6 @@ def build_isic_dataset(
         augment=augment,
         shuffle=shuffle,
         seed=seed,
+        pad_tail=pad_tail,
     )
     return ds, len(pairs)

@@ -346,3 +346,34 @@ def test_train_sr_device_cache(tiny_dataset, tmp_path):
     header = rows[0].split(",")
     first = dict(zip(header, rows[1].split(",")))
     assert np.isfinite(float(first["loss"])) and np.isfinite(float(first["val_loss"]))
+
+
+def test_train_seg_cli_ragged_tail_on_mesh(tmp_path):
+    """10 pairs at batch 8 on the 8-device mesh: the ragged tail (2) cannot
+    shard over the data axis — pad_tail must wrap-fill it (this config
+    crashed mid-epoch before the fix)."""
+    from adunet.cli.train_seg import main as seg_main
+
+    root = tmp_path
+    for d in ("ti", "tm", "vi", "vm"):
+        (root / d).mkdir()
+    rng = np.random.default_rng(2)
+    for split, d_img, d_mask, n in (("t", "ti", "tm", 10), ("v", "vi", "vm", 8)):
+        for i in range(n):
+            np.save(root / d_img / f"isic_{split}{i:03d}.npy",
+                    rng.random((32, 32, 3), dtype=np.float32))
+            m = np.zeros((32, 32), np.float32)
+            m[8:24, 8:24] = 1.0
+            np.save(root / d_mask / f"isic_{split}{i:03d}_segmentation.npy", m)
+
+    result = seg_main([
+        "--protocol", "A", "--epochs", "1", "--batch_size", "8",
+        "--base_channels", "8", "--depth", "2", "--image_size", "32",
+        "--train_images", str(root / "ti"), "--train_masks", str(root / "tm"),
+        "--val_images", str(root / "vi"), "--val_masks", str(root / "vm"),
+        "--model_dir", str(root / "models"), "--log_dir", str(root / "logs"),
+        "--run_name", "ragged",
+    ])
+    cfg = json.loads((root / "logs" / "ragged" / "config.json").read_text())
+    assert cfg["train_samples"] == 10
+    assert cfg["train_steps_per_epoch"] == 2  # ceil(10/8), tail wrap-filled

@@ -294,3 +294,37 @@ def test_array_dataset_drop_remainder_contract():
     with pytest.raises(ValueError, match="drop_remainder"):
         ArrayDataset(x[:3], x[:3], batch_size=4, shuffle=False, seed=0,
                      drop_remainder=True)
+
+
+def test_seg_pair_dataset_pad_tail():
+    """pad_tail wrap-fills a ragged final batch to the compiled shape — the
+    multi-device requirement (a tail that does not divide the data axis
+    cannot shard); single-device keeps the reference's ragged semantics."""
+    from pathlib import Path
+    import tempfile
+
+    from adunet.data.seg_pipeline import SegPairDataset
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pairs = []
+        for i in range(10):
+            img = Path(tmp) / f"i{i}.npy"
+            msk = Path(tmp) / f"i{i}_mask.npy"
+            np.save(img, np.full((8, 8, 3), i / 10, np.float32))
+            np.save(msk, np.zeros((8, 8), np.float32))
+            pairs.append((str(img), str(msk)))
+
+        ds = SegPairDataset(pairs, batch_size=8, image_size=8, augment=False,
+                            shuffle=False, seed=0, pad_tail=True)
+        batches = list(ds)
+        assert [b[0].shape[0] for b in batches] == [8, 8]
+        # the tail held 2 real samples (8, 9) then wrapped to the epoch start
+        tail = batches[1][0][:, 0, 0, 0]
+        np.testing.assert_allclose(tail[:2], [0.8, 0.9], atol=1e-6)
+        np.testing.assert_allclose(tail[2:], np.arange(6) / 10, atol=1e-6)
+
+        # fewer pairs than a batch: wrap cycles as often as needed
+        ds2 = SegPairDataset(pairs[:3], batch_size=8, image_size=8, augment=False,
+                             shuffle=False, seed=0, pad_tail=True)
+        (b2,) = list(ds2)
+        assert b2[0].shape[0] == 8
