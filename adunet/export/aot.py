@@ -11,6 +11,9 @@ JAX process (CPU or TPU, no adunet import needed) can deserialize and call.
 Artifact layout (a directory):
     model.stablehlo   serialized jax.export payload (weights embedded)
     manifest.json     scale/depth/shapes/platforms/param-count metadata
+    weights.npz       int8 weight leaves (only for --quantize exports,
+                      where weights ride as program inputs — see
+                      QuantizedExported)
 """
 
 from __future__ import annotations
@@ -75,8 +78,12 @@ class QuantizedExported:
     """
 
     def __init__(self, exported, weights):
+        import jax
+
         self.exported = exported
-        self.weights = list(weights)  # flattened quantized-param leaves
+        # commit the leaves to device once — numpy arguments would be
+        # re-transferred host-to-device on EVERY call in a serving loop
+        self.weights = [jax.device_put(w) for w in weights]
 
     @property
     def platforms(self):
@@ -171,7 +178,6 @@ def export_seg_forward(
     """
     import jax
     import jax.numpy as jnp
-    from jax import export as jax_export
 
     batch_stats = (
         jax.device_get(state.batch_stats) if state.batch_stats is not None else None
@@ -207,7 +213,6 @@ def export_joint_forward(
     """
     import jax
     import jax.numpy as jnp
-    from jax import export as jax_export
 
     apply_fn = state.apply_fn
 
@@ -250,6 +255,10 @@ def save_artifact(
         extra["weights_file"] = WEIGHTS_FILE
         extra["weights_leaves"] = len(exported.weights)
         total_bytes += (out_dir / WEIGHTS_FILE).stat().st_size
+    else:
+        # re-exporting unquantized into a dir that previously held a
+        # quantized artifact must not leave a stale weights file behind
+        (out_dir / WEIGHTS_FILE).unlink(missing_ok=True)
 
     in_aval = exported.in_avals[0]
     manifest = {
@@ -284,9 +293,13 @@ def load_artifact(path: str | Path) -> Tuple[Callable, Dict[str, Any]]:
     else:
         blob = path.read_bytes()
         manifest = {}
+    import jax
+
     exported = jax_export.deserialize(blob)
     if manifest.get("weights_file"):
         with np.load(path / manifest["weights_file"]) as z:
-            leaves = [z[f"w{i}"] for i in range(manifest["weights_leaves"])]
+            # device-resident once; numpy leaves would re-transfer per call
+            leaves = [jax.device_put(z[f"w{i}"])
+                      for i in range(manifest["weights_leaves"])]
         return (lambda x: exported.call(x, leaves)), manifest
     return exported.call, manifest
