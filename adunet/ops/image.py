@@ -34,7 +34,10 @@ def degrade(hr: jax.Array, scale: float, output_size: int | None = None) -> jax.
     if output_size is not None and output_size > 0:
         target_h = target_w = int(output_size)
     else:
-        target_h = target_w = max(h, w)
+        # preserve each dimension — forcing a square here would return a
+        # max(h,w)-square LR for non-square inputs and break the
+        # "LR and HR share pixel dims" contract above
+        target_h, target_w = h, w
     down_h = max(1, int(round(target_h * scale)))
     down_w = max(1, int(round(target_w * scale)))
 

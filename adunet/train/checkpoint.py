@@ -58,11 +58,27 @@ class CheckpointManager:
         self.monitor = monitor
         self.mode = mode
         sign = 1.0 if mode == "max" else -1.0
+        # missing monitor -> -inf AFTER the sign flip (never selected as best)
+        metric_of = lambda metrics: sign * metrics.get(monitor, -np.inf * sign)  # noqa: E731
 
+        # retention must cover BOTH roles this manager serves: the best-metric
+        # checkpoints (ModelCheckpoint parity) AND the most recent one
+        # (BackupAndRestore crash-resume parity). A bare best_fn +
+        # max_to_keep would apply Orbax's BestN policy alone, deleting the
+        # latest checkpoint whenever it is not among the best — a crash
+        # resume would then silently rewind to the best epoch.
+        from orbax.checkpoint import checkpoint_managers as ocp_managers
+
+        preservation = ocp_managers.AnyPreservationPolicy([
+            ocp_managers.LatestN(1),
+            ocp_managers.BestN(
+                get_metric_fn=metric_of, reverse=False, n=max_to_keep,
+            ),
+        ])
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep,
-            best_fn=lambda metrics: sign * metrics.get(monitor, -np.inf * sign),
+            best_fn=metric_of,
             best_mode="max",
+            preservation_policy=preservation,
             create=True,
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)

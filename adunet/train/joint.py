@@ -17,6 +17,7 @@ import jax.numpy as jnp
 from adunet.metrics.psnr_ssim import psnr
 from adunet.metrics.seg import dice_coefficient, iou_score
 from adunet.ops import degrade
+from adunet.train.sr import _as_f01
 from adunet.train.state import TrainState
 
 __all__ = ["make_joint_train_step", "make_joint_eval_step"]
@@ -60,7 +61,8 @@ def make_joint_train_step(
     def step(state: TrainState, batch, rng: jax.Array | None = None):
         del rng
         images, masks = batch
-        lr_batch = degrade(images, data_scale, images.shape[-2])
+        images = _as_f01(images)  # uint8 wire format -> [0,1] f32, as in SR
+        lr_batch = degrade(images, data_scale)
 
         def compute_loss(params):
             sr_pred, seg_pred = state.apply_fn({"params": params}, lr_batch)
@@ -89,7 +91,8 @@ def make_joint_eval_step(
     @partial(jax.jit)
     def step(state: TrainState, batch) -> Dict[str, jax.Array]:
         images, masks = batch
-        lr_batch = degrade(images, data_scale, images.shape[-2])
+        images = _as_f01(images)
+        lr_batch = degrade(images, data_scale)
         sr_pred, seg_pred = state.apply_fn({"params": state.params}, lr_batch)
         loss, metrics = _joint_loss_and_metrics(
             sr_loss_fn, seg_loss_fn, sr_weight, seg_weight,

@@ -21,7 +21,7 @@ from typing import Any, Callable, Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
-from adunet.parallel.mesh import replicated_sharding as _replicated, shard_batch
+from adunet.parallel.mesh import replicate as _replicate_tree, shard_batch
 from adunet.train.checkpoint import CheckpointManager
 from adunet.train.state import TrainState
 
@@ -69,8 +69,14 @@ def _mean_of(dicts: List[Dict[str, float]], weights: List[float]) -> Dict[str, f
 
 
 def _improved(current: float, best: Optional[float], mode: str) -> bool:
-    if best is None or not np.isfinite(best):
-        return np.isfinite(current)
+    # NaN best is replaceable by anything non-NaN; an INFINITE best is a
+    # legitimate record (val PSNR hits +inf on identical shaved patches and
+    # this codebase deliberately preserves it) — treating it as replaceable
+    # would let every later WORSE epoch overwrite the best weights.
+    if np.isnan(current):
+        return False
+    if best is None or np.isnan(best):
+        return True
     return current < best if mode == "min" else current > best
 
 
@@ -238,11 +244,10 @@ def fit(
                 for vbatch in val_data:
                     n = batch_size_of(vbatch)
                     # val batches can be ragged (grid tiling) — replicate instead
-                    # of batch-sharding so any size works on any mesh
+                    # of batch-sharding so any size works on any mesh; the
+                    # helper also handles multi-host global-array assembly
                     if mesh is not None:
-                        vbatch = jax.tree_util.tree_map(
-                            lambda x: jax.device_put(x, _replicated(mesh)), vbatch
-                        )
+                        vbatch = _replicate_tree(vbatch, mesh)
                     out = val_step(state, vbatch)
                     vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
                     vweights.append(n)
@@ -322,9 +327,12 @@ def fit(
                     if patience is not None and patience > 0 and wait >= patience:
                         stopped_early = True
                         if verbose:
+                            best_str = (  # best stays None if every epoch was NaN
+                                f"{best_metric:.4f}" if best_metric is not None else "n/a"
+                            )
                             print(
                                 f"Early stopping at epoch {epoch + 1} "
-                                f"(best {monitor}={best_metric:.4f} @ epoch {best_epoch}).",
+                                f"(best {monitor}={best_str} @ epoch {best_epoch}).",
                                 flush=True,
                             )
                         break
@@ -334,9 +342,11 @@ def fit(
             if best_stats_host is not None:
                 state = state.replace(batch_stats=jax.device_put(best_stats_host))
 
+    finally:
+        # close on EVERY exit path, not just the clean one (rows flush per
+        # write, so only the handle leaks — but it leaks for process life)
         if csv_file is not None:
             csv_file.close()
-    finally:
         transfer_pool.shutdown(wait=False, cancel_futures=True)
 
     return FitResult(

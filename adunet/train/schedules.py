@@ -37,6 +37,16 @@ def make_optimizer(
     (ReduceLROnPlateau support in the fit loop).
     """
     if cosine_decay_steps is not None:
+        if inject_lr:
+            # inject_hyperparams re-evaluates an injected SCHEDULE every
+            # update, so a ReduceLROnPlateau rescale of
+            # hyperparams['learning_rate'] is silently overwritten one step
+            # later — the combination cannot do what either caller expects
+            raise ValueError(
+                "cosine_decay_steps and inject_lr are mutually exclusive: the "
+                "schedule would overwrite any runtime learning-rate edit on "
+                "the next optimizer update."
+            )
         learning_rate = cosine_decay_schedule(learning_rate, cosine_decay_steps, cosine_alpha)
     if inject_lr:
         return optax.inject_hyperparams(optax.adam)(

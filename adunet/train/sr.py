@@ -64,7 +64,7 @@ def _lr_hr_of(batch, data_scale: float) -> Tuple[jax.Array, jax.Array]:
         lr_batch, hr_batch = batch
         return _as_f01(lr_batch), _as_f01(hr_batch)
     hr_batch = _as_f01(batch)
-    return degrade(hr_batch, data_scale, hr_batch.shape[-2]), hr_batch
+    return degrade(hr_batch, data_scale), hr_batch
 
 
 def sr_loss_and_metrics(loss_fn, hr, pred) -> Tuple[jax.Array, Dict[str, jax.Array]]:

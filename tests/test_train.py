@@ -164,6 +164,33 @@ def test_checkpoint_roundtrip(tmp_path):
     ckpt.close()
 
 
+def test_checkpoint_retains_latest_alongside_best(tmp_path):
+    """Crash-resume parity: the most recent checkpoint must survive retention
+    even when many later epochs are WORSE than the best — Orbax's plain BestN
+    policy would delete it and a restart would silently rewind to the best
+    epoch (regression test for the AnyPreservationPolicy fix)."""
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=4)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+
+    ckpt = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", mode="min")
+    # best early (steps 1-2), then steadily worse for many epochs
+    losses = [0.10, 0.12, 0.5, 0.6, 0.7, 0.8, 0.9]
+    for i, vl in enumerate(losses, start=1):
+        state, _ = step(state, jnp.asarray(hr), None)
+        ckpt.save(i, state, metrics={"val_loss": vl})
+
+    assert ckpt.latest_step() == len(losses)  # step 7 still on disk
+    fresh = create_train_state(model, jax.random.key(42), hr[:2], make_optimizer(1e-3))
+    restored = ckpt.restore_latest(fresh)
+    assert int(restored.step) == int(state.step)
+    # and best selection still points at the val_loss=0.10 checkpoint
+    assert ckpt._mngr.best_step() == 1
+    ckpt.close()
+
+
 def test_cosine_schedule_matches_keras_semantics():
     sched = cosine_decay_schedule(1e-3, decay_steps=100, alpha=0.0)
     assert float(sched(0)) == pytest.approx(1e-3)
