@@ -103,6 +103,7 @@ def train(args: argparse.Namespace) -> dict:
         train_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=args.augment, shuffle=True, seed=args.seed,
         num_classes=args.num_classes,
+        image_interp="linear",  # vanilla reference resizes BILINEAR (unet_vinillia.py:166)
         # ragged tails cannot shard over a >1-device data axis
         pad_tail=(args.n_devices or jax.device_count()) > 1 or jax.process_count() > 1,
     )
@@ -110,6 +111,7 @@ def train(args: argparse.Namespace) -> dict:
         val_pairs, batch_size=args.batch_size, image_size=args.image_size,
         augment=False, shuffle=False, seed=args.seed,
         num_classes=args.num_classes,
+        image_interp="linear",
     )
     steps_per_epoch = math.ceil(len(train_pairs) / args.batch_size)
 

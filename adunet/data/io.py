@@ -109,18 +109,26 @@ def load_rgb_image_full_u8(path: str | Path) -> np.ndarray:
     return np.clip(np.round(arr.astype(np.float32) * 255.0), 0, 255).astype(np.uint8)
 
 
-def load_rgb_image(path: str | Path, size: int) -> np.ndarray:
-    """RGB float32 [0,1], square INTER_AREA resize (shared/pipeline.py:60-67)."""
-    img = _read_rgb(Path(path))
-    if _HAS_CV2:
-        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
-        return _to_float01(img)
-    # PIL fallback: BOX filter approximates INTER_AREA
-    img = _to_float01(img)
-    from adunet.ops.resize import resize_matrix  # area weights, exact
+def load_rgb_image(path: str | Path, size: int, interp: str = "area") -> np.ndarray:
+    """RGB float32 [0,1], square resize.
 
-    wh = resize_matrix(img.shape[0], size, "area")
-    ww = resize_matrix(img.shape[1], size, "area")
+    ``interp="area"`` is the shared loader's INTER_AREA
+    (shared/pipeline.py:60-67); ``interp="linear"`` matches the vanilla seg
+    trainer's tf BILINEAR resize (unet_vinillia.py:166)."""
+    img = _read_rgb(Path(path))
+    cv2_interp = {"area": "INTER_AREA", "linear": "INTER_LINEAR"}
+    if interp not in cv2_interp:
+        raise ValueError(f"unknown interp {interp!r} (expected area|linear)")
+    if _HAS_CV2:
+        img = cv2.resize(img, (size, size), interpolation=getattr(cv2, cv2_interp[interp]))
+        return _to_float01(img)
+    # fallback: exact kernel weights from the resize-as-matmul machinery
+    img = _to_float01(img)
+    from adunet.ops.resize import resize_matrix
+
+    method = "area" if interp == "area" else "bilinear"
+    wh = resize_matrix(img.shape[0], size, method)
+    ww = resize_matrix(img.shape[1], size, method)
     return np.einsum("ih,hwc->iwc", wh, np.einsum("jw,hwc->hjc", ww, img)).astype(np.float32)
 
 
@@ -183,27 +191,7 @@ def load_label_mask(path: str | Path, size: int, num_classes: int) -> np.ndarray
 def load_mask(path: str | Path, size: int, threshold: float = 0.5) -> np.ndarray:
     """Binary mask float32 (size, size, 1): nearest resize, 0.5-binarise
     (Segmenation/code/train_adaptive_unet.py:147-154)."""
-    path = Path(path)
-    if path.suffix == ".npy":
-        arr = np.load(str(path))
-    elif _HAS_CV2:
-        arr = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
-        if arr is None:
-            raise FileNotFoundError(f"Unable to read mask: {path}")
-    elif _HAS_PIL:
-        with Image.open(path) as im:
-            arr = np.asarray(im.convert("L"))
-    else:
-        raise RuntimeError("No image decoder available (need cv2 or PIL).")
-    if arr.ndim == 3:
-        arr = arr[..., 0]
-    if arr.shape[:2] != (size, size):
-        if _HAS_CV2:
-            arr = cv2.resize(arr, (size, size), interpolation=cv2.INTER_NEAREST)
-        else:
-            ys = (np.arange(size) * arr.shape[0] // size).clip(0, arr.shape[0] - 1)
-            xs = (np.arange(size) * arr.shape[1] // size).clip(0, arr.shape[1] - 1)
-            arr = arr[np.ix_(ys, xs)]
+    arr = _nearest_resize(_read_gray(Path(path)), size)
     mask = _to_float01(arr)
     mask = (mask > threshold).astype(np.float32)
     return mask[..., None]

@@ -12,6 +12,8 @@ from __future__ import annotations
 import math
 import queue
 import threading
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -44,6 +46,7 @@ class SegPairDataset:
         num_classes: int = 1,
         drop_remainder: bool = False,
         pad_tail: bool = False,
+        image_interp: str = "area",
     ):
         pairs = list(pairs)
         if not pairs:
@@ -56,6 +59,9 @@ class SegPairDataset:
         self.seed = seed
         self.prefetch_batches = prefetch_batches
         self.num_classes = num_classes
+        # "area" = adaptive/protocol trainer parity (cv2 INTER_AREA);
+        # "linear" = vanilla trainer parity (tf BILINEAR, unet_vinillia.py:166)
+        self.image_interp = image_interp
         # drop_remainder keeps every batch the compiled shape — required when
         # batches are sharded over a mesh (a ragged tail cannot be split N ways)
         if drop_remainder and len(pairs) < batch_size:
@@ -81,7 +87,7 @@ class SegPairDataset:
         return len(self.pairs)
 
     def _load_pair(self, image_path: str, mask_path: str) -> Tuple[np.ndarray, np.ndarray]:
-        image = load_rgb_image(image_path, self.image_size)
+        image = load_rgb_image(image_path, self.image_size, interp=self.image_interp)
         if self.num_classes > 1:
             return image, load_label_mask(mask_path, self.image_size, self.num_classes)
         return image, load_mask(mask_path, self.image_size)
@@ -92,46 +98,75 @@ class SegPairDataset:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         self._epoch += 1
-        images: List[np.ndarray] = []
-        masks: List[np.ndarray] = []
-        for idx in order:
-            img, msk = self._load_pair(*self.pairs[idx])
-            images.append(img)
-            masks.append(msk)
-            if len(images) == self.batch_size:
+
+        # decode order for the whole pass, including the wrap-fill tail:
+        # a ragged final batch cannot shard over a >1-device data axis
+        indices = list(order)
+        remainder = len(indices) % self.batch_size
+        if remainder:
+            if self.drop_remainder:
+                indices = indices[: len(indices) - remainder]
+            elif self.pad_tail:
+                need = self.batch_size - remainder
+                indices += [order[k % len(order)] for k in range(need)]
+
+        # sliding-window decode pool (cv2 releases the GIL) — serial decode
+        # stalled the device whenever step time was below decode time
+        window = 4
+        with ThreadPoolExecutor(max_workers=window) as pool:
+            pending = deque()
+            idx = 0
+            images: List[np.ndarray] = []
+            masks: List[np.ndarray] = []
+            while idx < len(indices) or pending:
+                while idx < len(indices) and len(pending) < window:
+                    pending.append(pool.submit(self._load_pair, *self.pairs[indices[idx]]))
+                    idx += 1
+                img, msk = pending.popleft().result()
+                images.append(img)
+                masks.append(msk)
+                if len(images) == self.batch_size:
+                    yield np.stack(images), np.stack(masks)
+                    images, masks = [], []
+            if images:  # ragged tail (single-device reference semantics)
                 yield np.stack(images), np.stack(masks)
-                images, masks = [], []
-        if images and not self.drop_remainder:
-            if self.pad_tail:
-                k = 0
-                while len(images) < self.batch_size:  # wrap-fill (cycles for
-                    idx = order[k % len(order)]       # pairs < batch_size)
-                    k += 1
-                    img, msk = self._load_pair(*self.pairs[idx])
-                    images.append(img)
-                    masks.append(msk)
-            yield np.stack(images), np.stack(masks)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         done = object()
+        stop = threading.Event()
+
+        def put_or_stop(item) -> bool:
+            # timeout-put: a bare q.put() blocks forever when the consumer
+            # abandons a pass with the queue full, leaking the thread
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def producer() -> None:
             try:
                 for batch in self._batches():
-                    q.put(batch)
-                q.put(done)
+                    if not put_or_stop(batch):
+                        return
+                put_or_stop(done)
             except Exception as exc:
-                q.put(exc)
+                put_or_stop(exc)
 
         threading.Thread(target=producer, daemon=True).start()
-        while True:
-            item = q.get()
-            if item is done:
-                return
-            if isinstance(item, Exception):
-                raise item
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is done:
+                    return
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
 
 
 def build_isic_dataset(

@@ -127,14 +127,25 @@ class TrainingPatchDataset:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(item) -> bool:
+            """Timeout-put so the thread can exit when the consumer abandons
+            iteration while the queue is full — a bare q.put() would block
+            forever and leak the thread plus its decode pool per iterator."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def producer() -> None:
             try:
                 for batch in self._batch_stream():
-                    if stop.is_set():
+                    if not put_or_stop(batch):
                         return
-                    q.put(batch)
             except Exception as exc:  # surface loader errors to the consumer
-                q.put(exc)
+                put_or_stop(exc)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()

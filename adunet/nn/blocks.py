@@ -79,11 +79,27 @@ def conv1x1(features: int, dtype: Any = jnp.float32, name: str | None = None, **
     )
 
 
+class FusedLayerNormReLU(nn.Module):
+    """Pallas LayerNorm+ReLU with nn.LayerNorm's exact parameter names
+    ("scale"/"bias") so fused and unfused checkpoints are interchangeable."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from adunet.kernels import layer_norm_relu
+
+        gamma = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        beta = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        return layer_norm_relu(x, gamma, beta, 1e-3)
+
+
 class ConvBlock(nn.Module):
     """(Conv3x3 → Norm → ReLU) x2 at constant spatial size.
 
     With ``fused_norm=True`` the LayerNorm+ReLU pair runs as one Pallas
     kernel on TPU (bf16 in/out, f32 statistics in VMEM) — identical numerics
+    AND an identical parameter tree (checkpoints are interchangeable)
     to the unfused path (adunet.kernels.fused_norm). Default is OFF: measured
     on a v5e, XLA's own fusion of the unfused chain is faster for this model
     (187 vs 210 ms/step at bs32/256px) because the custom VJP's
@@ -101,6 +117,10 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.norm not in ("layer", "batch", "none"):
+            # silently skipping normalization on a typo ('Layer', 'batchnorm')
+            # trains a different model with no error
+            raise ValueError(f"unknown norm {self.norm!r} (expected layer|batch|none)")
         for i in range(2):
             if self.pallas_conv:
                 x = PallasConv3x3(self.features, self.dtype, name=f"conv{i}")(x)
@@ -109,15 +129,9 @@ class ConvBlock(nn.Module):
             if self.norm == "layer":
                 # Keras LayerNormalization(axis=-1): eps 1e-3, learnable scale+bias.
                 if self.fused_norm:
-                    from adunet.kernels import layer_norm_relu
-
-                    gamma = self.param(
-                        f"norm{i}_scale", nn.initializers.ones, (self.features,), jnp.float32
-                    )
-                    beta = self.param(
-                        f"norm{i}_bias", nn.initializers.zeros, (self.features,), jnp.float32
-                    )
-                    x = layer_norm_relu(x, gamma, beta, 1e-3)
+                    # param tree matches nn.LayerNorm (norm{i}/{scale,bias})
+                    # so checkpoints move freely between fused/unfused paths
+                    x = FusedLayerNormReLU(self.features, name=f"norm{i}")(x)
                     continue
                 x = nn.LayerNorm(epsilon=1e-3, dtype=jnp.float32, name=f"norm{i}")(x)
             elif self.norm == "batch":

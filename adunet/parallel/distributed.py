@@ -72,6 +72,18 @@ def maybe_initialize_distributed() -> bool:
     if coordinator:
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
+        if num_processes <= 1:
+            # a coordinator address with a 1-process world is a misconfigured
+            # launch (forgotten JAX_NUM_PROCESSES): silently proceeding would
+            # run N independent full-dataset trainings that race on the same
+            # run_dir with no error anywhere
+            raise RuntimeError(
+                f"JAX_COORDINATOR_ADDRESS={coordinator} is set but "
+                f"JAX_NUM_PROCESSES={num_processes} — a distributed launch "
+                "needs the full env contract (JAX_NUM_PROCESSES > 1 and "
+                "JAX_PROCESS_ID per process); unset the coordinator address "
+                "for a single-process run."
+            )
         if num_processes > 1:
             try:
                 jax.distributed.initialize(

@@ -85,6 +85,12 @@ def make_dp_axis_mesh(axis_name: str, shards: int, n_devices: Optional[int] = No
     """2-D mesh ('data', axis_name): data parallel x a second sharding axis."""
     devices = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devices):  # same loud guard as make_mesh — a
+            # silent truncation would run at a fraction of the requested
+            # parallelism with no error
+            raise ValueError(
+                f"Requested {n_devices} devices but only {len(devices)} available."
+            )
         devices = devices[:n_devices]
     total = len(devices)
     if total % shards != 0:

@@ -328,3 +328,31 @@ def test_seg_pair_dataset_pad_tail():
                              shuffle=False, seed=0, pad_tail=True)
         (b2,) = list(ds2)
         assert b2[0].shape[0] == 8
+
+
+def test_load_rgb_image_linear_matches_tf_bilinear(tmp_path):
+    """interp='linear' (vanilla seg parity) must match the reference's
+    tf.image.resize BILINEAR (unet_vinillia.py:166) within float tolerance."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    tf = pytest.importorskip("tensorflow")
+
+    from adunet.data import load_rgb_image
+
+    rng = np.random.default_rng(0)
+    img_u8 = (rng.random((97, 123, 3)) * 255).astype(np.uint8)
+    p = tmp_path / "img.png"
+    cv2.imwrite(str(p), img_u8[..., ::-1])
+
+    ours = load_rgb_image(p, 64, interp="linear")
+    ref = tf.image.resize(
+        tf.convert_to_tensor(img_u8, tf.float32), (64, 64),
+        method=tf.image.ResizeMethod.BILINEAR,
+    ).numpy() / 255.0
+    np.testing.assert_allclose(ours, ref, atol=2e-2)  # cv2/tf tap rounding
+    assert np.abs(ours - ref).mean() < 3e-3
+
+    # default stays the shared loader's INTER_AREA
+    area = load_rgb_image(p, 64)
+    assert np.abs(area - ours).max() > 1e-3  # the two kernels genuinely differ

@@ -64,21 +64,29 @@ def test_custom_vjp_matches_autodiff():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
-def test_convblock_fused_vs_unfused_same_output():
+def test_convblock_fused_vs_unfused_same_output_and_tree():
+    """Fused and unfused LayerNorm paths must share the SAME parameter tree
+    (checkpoints interchangeable) and the same outputs."""
     from adunet.nn.blocks import ConvBlock
 
     x = jax.random.uniform(jax.random.key(0), (2, 16, 16, 3))
     fused = ConvBlock(8, norm="layer", fused_norm=True)
     unfused = ConvBlock(8, norm="layer", fused_norm=False)
     vf = jax.jit(fused.init)(jax.random.key(1), x)
-    # map fused param names onto the unfused structure
-    pf = vf["params"]
-    pu = {
-        "conv0": pf["conv0"],
-        "conv1": pf["conv1"],
-        "norm0": {"scale": pf["norm0_scale"], "bias": pf["norm0_bias"]},
-        "norm1": {"scale": pf["norm1_scale"], "bias": pf["norm1_bias"]},
-    }
+    vu = jax.jit(unfused.init)(jax.random.key(1), x)
+    assert (jax.tree_util.tree_structure(vf["params"])
+            == jax.tree_util.tree_structure(vu["params"]))
+    # the exact same params run through BOTH paths
     yf = jax.jit(fused.apply)(vf, x)
-    yu = jax.jit(unfused.apply)({"params": pu}, x)
+    yu = jax.jit(unfused.apply)(vf, x)
     np.testing.assert_allclose(np.asarray(yf), np.asarray(yu), atol=1e-6)
+
+
+def test_convblock_rejects_unknown_norm():
+    import pytest
+
+    from adunet.nn.blocks import ConvBlock
+
+    x = jax.random.uniform(jax.random.key(0), (1, 8, 8, 3))
+    with pytest.raises(ValueError, match="unknown norm"):
+        ConvBlock(8, norm="Layer").init(jax.random.key(1), x)
