@@ -67,6 +67,15 @@ def load_checkpoint_state(
         }
         if depth_override is None:
             depth_override = saved.get("depth")
+    elif depth_override is None:
+        # without the config dump AND without an explicit depth, rebuilding
+        # from scale-derived defaults is architecture guesswork — restore
+        # either fails with an opaque tree mismatch or silently loads the
+        # wrong widths (the seg/joint loaders hard-error the same way)
+        raise FileNotFoundError(
+            f"{cfg_file} not found (interrupted run?) and no --depth-override "
+            "given; cannot rebuild the architecture safely."
+        )
 
     model, info = build_super_resolution_unet(
         scale=scale,

@@ -91,6 +91,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--patch-size", type=int, default=256)
     parser.add_argument("--n-examples", type=int, default=4)
     parser.add_argument("--depth-override", type=int, default=None)
+    parser.add_argument("--latest", action="store_true",
+                        help="Inspect the most recent checkpoint instead of the "
+                             "best-val one the evaluation pipeline reports on.")
     parser.add_argument("--output-dir", type=Path, default=Path("runs/inspection"))
     parser.add_argument("--seed", type=int, default=0)
     return parser.parse_args(argv)
@@ -114,7 +117,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     chosen = rng.choice(len(files), size=min(args.n_examples, len(files)), replace=False)
 
     state, _model, _info = load_checkpoint_state(
-        args.model_path, args.scale, args.patch_size, args.depth_override
+        args.model_path, args.scale, args.patch_size, args.depth_override,
+        best=not args.latest,  # render the model the eval pipeline reports on
     )
 
     for idx in chosen:

@@ -57,12 +57,15 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     return parser.parse_args(argv)
 
 
+# the repo root is embedded at emission time: SLURM copies batch scripts to
+# the slurmd spool directory, so a runtime `dirname $0` would not point back
+# at the emit location
 _SBATCH_TEMPLATE = """#!/bin/bash
 #SBATCH --job-name={name}
 #SBATCH --output={log_dir}/{name}-%j.log
 #SBATCH --time=12:00:00
 set -euo pipefail
-cd "$(dirname "$0")/../.."
+cd {repo_root}
 python -m adunet.cli.{module} {args}
 """
 
@@ -121,7 +124,9 @@ def main(argv: Optional[List[str]] = None) -> None:
             sbatch_dir = Path(args.sbatch_dir)
             sbatch_dir.mkdir(parents=True, exist_ok=True)
             script = _SBATCH_TEMPLATE.format(
-                name=plan.name, log_dir=args.log_dir, module="tune", args=" ".join(plan.argv)
+                name=plan.name, log_dir=args.log_dir, module="tune",
+                args=" ".join(plan.argv),
+                repo_root=Path(__file__).resolve().parents[2],
             )
             path = sbatch_dir / f"{plan.name}.sbatch"
             path.write_text(script)
@@ -178,6 +183,7 @@ def main(argv: Optional[List[str]] = None) -> None:
             script = _SBATCH_TEMPLATE.format(
                 name=plan.name, log_dir=args.log_dir, module=module,
                 args=" ".join(plan.argv),
+                repo_root=Path(__file__).resolve().parents[2],
             )
             path = sbatch_dir / f"{plan.name}.sbatch"
             path.write_text(script)

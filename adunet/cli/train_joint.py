@@ -126,8 +126,14 @@ def train(args: argparse.Namespace) -> dict:
 
     mesh = make_mesh(args.n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
-    if args.batch_size % n_dev != 0:
-        raise ValueError(f"batch_size={args.batch_size} must be divisible by {n_dev} devices.")
+    # batch_size is per-process: the global batch (batch_size x process_count)
+    # must split evenly over the data axis (train_sr uses the same rule)
+    local_dp = max(1, n_dev // jax.process_count())
+    if args.batch_size % local_dp != 0:
+        raise ValueError(
+            f"batch_size={args.batch_size} must be divisible by the per-process "
+            f"data-axis share ({local_dp})."
+        )
 
     sample = jnp.zeros((1, args.image_size, args.image_size, 3), jnp.float32)
     state = create_train_state(

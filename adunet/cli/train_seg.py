@@ -123,9 +123,13 @@ def train(cfg) -> dict:
 
     mesh = make_mesh(cfg.n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
-    if cfg.batch_size % n_dev != 0:
+    # batch_size is per-process: the global batch (batch_size x process_count)
+    # must split evenly over the data axis (train_sr uses the same rule)
+    local_dp = max(1, n_dev // jax.process_count())
+    if cfg.batch_size % local_dp != 0:
         raise ValueError(
-            f"batch_size={cfg.batch_size} must be divisible by the {n_dev}-device mesh."
+            f"batch_size={cfg.batch_size} must be divisible by the per-process "
+            f"data-axis share ({local_dp})."
         )
 
     sample = jnp.zeros((1, cfg.image_size, cfg.image_size, 3), jnp.float32)

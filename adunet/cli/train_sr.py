@@ -371,13 +371,18 @@ def train(cfg) -> dict:
         cache = load_device_cache(global_train_paths, sharding=replicated_sharding(mesh))
         print(f"[device_cache] {cache.shape[0]} images "
               f"({cache.nbytes / 1e6:.0f} MB uint8) resident in HBM.")
+        # batch_size is PER-PROCESS everywhere (streaming mode assembles a
+        # global batch of batch_size x process_count); the cache step samples
+        # its batch globally inside the program, so it must sample the same
+        # global size or multi-host runs would quietly train at 1/P batch
+        global_batch = cfg.batch_size * jax.process_count()
         train_step = make_sr_device_cache_train_step(
             model, loss_fn, cache,
-            patch_size=cfg.patch_size, batch_size=cfg.batch_size,
+            patch_size=cfg.patch_size, batch_size=global_batch,
             data_scale=degrade_scale,
             batch_sharding=_batch_sharding(mesh),
         )
-        samples_per_step = cfg.batch_size
+        samples_per_step = cfg.batch_size  # per-process accounting, as streaming
 
         def train_feed():
             while True:

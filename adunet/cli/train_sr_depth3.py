@@ -12,6 +12,9 @@ from adunet.cli.train_sr import config_from_args, parse_args, train
 
 
 def main(argv: Optional[List[str]] = None) -> None:
+    from adunet.utils.runtime import setup_runtime
+
+    setup_runtime()  # persistent compile cache etc., as every entry point
     args = parse_args(argv)
     args.depth_override = 3
     args.max_depth = 3

@@ -109,47 +109,12 @@ def train(args: argparse.Namespace) -> dict:
 
     import functools
 
-    def train_step_impl(state: TrainState, batch, rng):
-        del rng
-        lr_batch, hr_batch = batch
+    from adunet.train import make_vanilla_sr_train_step, make_vanilla_sr_val_step
 
-        def compute_loss(params):
-            variables = {"params": params}
-            if state.batch_stats is not None:
-                variables["batch_stats"] = state.batch_stats
-                pred, new_vars = state.apply_fn(
-                    variables, lr_batch, train=True, mutable=["batch_stats"]
-                )
-                new_stats = new_vars.get("batch_stats")
-            else:
-                pred = state.apply_fn(variables, lr_batch, train=True)
-                new_stats = None
-            loss = loss_fn(hr_batch, pred)
-            clipped = jnp.clip(pred.astype(jnp.float32), 0, 1)
-            return loss, (jnp.mean(psnr_vec(hr_batch.astype(jnp.float32), clipped)), new_stats)
-
-        (loss, (psnr_val, new_stats)), grads = jax.value_and_grad(compute_loss, has_aux=True)(
-            state.params
-        )
-        new_state = state.apply_gradients(grads=grads)
-        if new_stats is not None:
-            new_state = new_state.replace(batch_stats=new_stats)
-        return new_state, {"loss": loss, "psnr": psnr_val}
-
-    train_step = jax.jit(train_step_impl, donate_argnums=(0,))
-
-    @jax.jit
-    def val_step(state: TrainState, batch):
-        lr_batch, hr_batch = batch
-        variables = {"params": state.params}
-        if state.batch_stats is not None:
-            variables["batch_stats"] = state.batch_stats
-        pred = state.apply_fn(variables, lr_batch, train=False)
-        clipped = jnp.clip(pred.astype(jnp.float32), 0, 1)
-        return {
-            "loss": loss_fn(hr_batch, pred),
-            "psnr": jnp.mean(psnr_vec(hr_batch.astype(jnp.float32), clipped)),
-        }
+    # shared steps (train/sr.py) — the same BatchNorm-mutable closure the
+    # tuner consumes; an inline copy here had already started to drift
+    train_step = make_vanilla_sr_train_step(model, loss_fn)
+    val_step = make_vanilla_sr_val_step(model, loss_fn)
 
     @functools.partial(jax.jit)
     def eval_step(state: TrainState, batch):

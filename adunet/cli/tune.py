@@ -274,12 +274,6 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
     study.optimize(objective, n_trials=args.n_trials)
 
-    retrain_result = None
-    if args.retrain:
-        print(f"Retraining best config: {study.best_params}")
-        retrain_result = retrain(study.best_params)
-        print(f"Retrain result: {retrain_result}")
-
     args.results.parent.mkdir(parents=True, exist_ok=True)
     import json
 
@@ -291,9 +285,16 @@ def main(argv: Optional[List[str]] = None) -> None:
             "best_params": study.best_params,
             "n_trials": len(study.trials),
         }
-    if retrain_result is not None:
-        payload["retrain"] = retrain_result
+    # persist the study BEFORE the optional retrain: a crash during the
+    # retrain must not discard hours of completed trials
     args.results.write_text(json.dumps(payload, indent=2, default=str))
+
+    if args.retrain:
+        print(f"Retraining best config: {study.best_params}")
+        retrain_result = retrain(study.best_params)
+        print(f"Retrain result: {retrain_result}")
+        payload["retrain"] = retrain_result
+        args.results.write_text(json.dumps(payload, indent=2, default=str))
     print(f"Best value: {study.best_value}")
     print(f"Best params: {study.best_params}")
     print(f"Results written to {args.results}")

@@ -26,8 +26,16 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 __all__ = ["Trial", "Study", "TrialPruned", "TPESampler", "RandomSampler", "create_study"]
 
 
-class TrialPruned(Exception):
-    """Raised by objectives when Trial.should_prune() is honoured."""
+try:  # pragma: no cover - optuna not in this image
+    # one exception class for BOTH engines: objectives raise adunet's
+    # TrialPruned, and when create_study returns a real optuna study its
+    # optimize() must recognise the prune signal — a distinct local class
+    # would be treated as an unknown error and abort the whole study on
+    # the first pruned trial
+    from optuna.exceptions import TrialPruned
+except Exception:
+    class TrialPruned(Exception):
+        """Raised by objectives when Trial.should_prune() is honoured."""
 
 
 # --------------------------------------------------------------- samplers
@@ -142,8 +150,12 @@ class TPESampler(RandomSampler):
             return super().suggest_int(study, rng, name, low, high, step)
         c = self._tpe_float(rng, [float(v) for v in good], [float(v) for v in bad],
                             float(low), float(high))
-        snapped = low + round((c - low) / step) * step
-        return int(min(max(snapped, low), high))
+        # snap onto the {low, low+step, ...} grid and clamp WITHIN the grid —
+        # min(snapped, high) could return an off-grid value when (high - low)
+        # is not a multiple of step (e.g. low=0 high=10 step=4 -> 10)
+        n_steps = max(0, (high - low) // step)
+        k = round((c - low) / step)
+        return int(low + min(max(k, 0), n_steps) * step)
 
     def suggest_categorical(self, study, rng, name, choices) -> Any:
         choices = list(choices)
