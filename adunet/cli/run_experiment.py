@@ -39,7 +39,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--model_dir", type=str, default="runs/models")
     parser.add_argument("--log_dir", type=str, default="runs/logs")
     parser.add_argument("--metadata_dir", type=str, default="runs/metadata")
-    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--epochs", type=int, default=None,
+                        help="Epochs per run. Default: 100 for SR sweeps; the protocol's own "
+                             "budget (A:100, B:200) for seg sweeps.")
     parser.add_argument("--seed", type=int, default=1234)
     parser.add_argument("--scales", type=float, nargs="*", default=None)
     parser.add_argument("--protocols", type=str, nargs="*", default=["A", "B"])

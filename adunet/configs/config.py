@@ -96,6 +96,15 @@ class SRTrainConfig:
             raise ValueError("initial_epoch must be smaller than epochs to resume training.")
         if not 0 < self.scale < 1:
             raise ValueError("scale must be in (0, 1).")
+        if self.val_split < 0 or self.test_split < 0:
+            raise ValueError("val_split/test_split must be non-negative.")
+        if self.val_split + self.test_split == 0:
+            # split_indices requires at least one val and one test element
+            # (reference split semantics) — catch it at the right knob
+            raise ValueError(
+                "val_split + test_split must be > 0 (the split keeps >= 1 "
+                "validation and >= 1 test image)."
+            )
         train_split = 1.0 - (self.val_split + self.test_split)
         if train_split <= 0:
             raise ValueError("Validation and test splits leave no room for training data.")

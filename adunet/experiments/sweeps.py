@@ -64,7 +64,10 @@ def sweep_runs(
     high_res_dir: Optional[str] = None,
     model_dir: str = "runs/models",
     log_dir: str = "runs/logs",
-    epochs: int = 100,
+    # None: SR sweeps use the reference default (100); seg sweeps keep each
+    # PROTOCOL's epoch budget (A:100, B:200) — a blanket 100 would silently
+    # halve protocol B's specified budget
+    epochs: Optional[int] = None,
     seed: int = 1234,
     scales: Optional[Sequence[float]] = None,
     tpu_batches: bool = True,
@@ -82,7 +85,11 @@ def sweep_runs(
     if experiment in ("fixed_depth", "adaptive_depth"):
         if high_res_dir is None:
             raise ValueError("high_res_dir is required for SR sweeps.")
-        chosen_scales = list(scales or (
+        if scales is not None and len(scales) == 0:
+            # `--scales` with no values must not silently expand to the full
+            # 8-scale sweep
+            raise ValueError("scales was given but empty; omit it for the full sweep.")
+        chosen_scales = list(scales if scales is not None else (
             EXPERIMENT1_SCALES if experiment == "fixed_depth" else sorted(EXPERIMENT2_DEPTHS)
         ))
         for scale in chosen_scales:
@@ -97,12 +104,13 @@ def sweep_runs(
             if tpu_batches:
                 batch = TPU_BATCH_SIZES.get(scale, batch)
             run_name = f"exp_{experiment}_scale{scale:.2f}_depth{depth}"
+            sr_epochs = epochs if epochs else 100  # reference EPOCHS default
             argv = [
                 "--scale", f"{scale}",
                 "--depth_override", str(depth),
                 "--max_depth", str(depth),
                 "--batch_size", str(batch),
-                "--epochs", str(epochs),
+                "--epochs", str(sr_epochs),
                 "--seed", str(seed),
                 "--high_res_dir", str(high_res_dir),
                 "--model_dir", str(model_dir),
@@ -122,7 +130,7 @@ def sweep_runs(
                     "scale": scale,
                     "depth": depth,
                     "batch_size": batch,
-                    "epochs": epochs,
+                    "epochs": sr_epochs,
                     "seed": seed,
                 },
             ))

@@ -138,6 +138,10 @@ def conv3x3_same_pallas(
     """Forward 3x3 SAME conv via the tap-paired Pallas kernel (C=Cout=64)."""
     B, H, W, C = x.shape
     assert supported(x.shape, w.shape), (x.shape, w.shape)
+    if H % block_h != 0:
+        # grid = H // block_h tiles; a remainder would leave the last rows of
+        # the output buffer unwritten (silent VMEM garbage)
+        raise ValueError(f"H={H} must be divisible by block_h={block_h}.")
     dt = x.dtype
     if bias is None:
         bias = jnp.zeros((w.shape[-1],), dt)

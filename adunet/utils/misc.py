@@ -17,28 +17,20 @@ __all__ = ["sorted_alphanumeric", "split_indices"]
 
 
 def sorted_alphanumeric(items: Iterable[str]) -> List[str]:
-    """Sort strings so entries with embedded numbers follow numeric order."""
+    """Sort strings so entries with embedded numbers follow numeric order.
 
-    def tokenize(token: str):
-        return int(token) if token.isdigit() else token.lower()
+    Keys alternate (str, int, str, ...) with a guaranteed leading string —
+    a digit-leading name gets an empty first token — so every comparison is
+    str-vs-str or int-vs-int. A naive tokenizer whose first token type
+    depends on the first character raises TypeError the moment one name
+    starts with a digit and another with a letter ('0801.png' vs
+    'thumbnail.png'), aborting dataset discovery.
+    """
+    import re
 
     def split_key(text: str):
-        token = ""
-        tokens: List[str] = []
-        for char in text:
-            if char.isdigit():
-                if token and not token[-1].isdigit():
-                    tokens.append(token)
-                    token = ""
-                token += char
-            else:
-                if token and token[-1].isdigit():
-                    tokens.append(token)
-                    token = ""
-                token += char
-        if token:
-            tokens.append(token)
-        return [tokenize(part) for part in tokens]
+        parts = re.split(r"(\d+)", text)  # even idx: non-digit (may be ''), odd: digits
+        return [int(p) if i % 2 else p.lower() for i, p in enumerate(parts)]
 
     return sorted(items, key=split_key)
 

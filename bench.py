@@ -97,6 +97,19 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def scan_diff_throughput(runner_of, state, rng, batch_size, retries=2):
+        """Shared timing method for all device benches: difference a short and
+        a long jitted scan to cancel fixed per-call overhead. A transient
+        tunnel stall can invert the difference — retry rather than clamp
+        (a clamped dt of ~0 would report an absurd throughput as truth)."""
+        for _ in range(retries + 1):
+            t_short = timed(runner_of(STEPS_SHORT), state, rng)
+            t_long = timed(runner_of(STEPS_LONG), state, rng)
+            dt = t_long - t_short
+            if dt > 0:
+                return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+        raise RuntimeError("scan-diff timing inverted repeatedly (transfer stall?)")
+
     def run_bench(batch_size: int) -> float:
         state = create_train_state(
             model,
@@ -104,11 +117,9 @@ def main() -> None:
             jnp.zeros((1, 256, 256, 3)),
             make_optimizer(1e-4),
         )
-        rng = jax.random.key(1)
-        t_short = timed(make_runner(STEPS_SHORT, batch_size), state, rng)
-        t_long = timed(make_runner(STEPS_LONG, batch_size), state, rng)
-        dt = max(t_long - t_short, 1e-9)
-        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+        return scan_diff_throughput(
+            lambda n: make_runner(n, batch_size), state, jax.random.key(1), batch_size
+        )
 
     def run_host_feed_bench(batch_size: int) -> float:
         """Same step, fed from the threaded patch loader over real PNGs."""
@@ -238,10 +249,7 @@ def main() -> None:
 
             return run
 
-        t_short = timed(make_runner(STEPS_SHORT), state, jax.random.key(3))
-        t_long = timed(make_runner(STEPS_LONG), state, jax.random.key(3))
-        dt = max(t_long - t_short, 1e-9)
-        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+        return scan_diff_throughput(make_runner, state, jax.random.key(3), batch_size)
 
     def run_seg_bench(batch_size: int = 32) -> float:
         """Protocol-A seg step (BatchNorm U-Net, hybrid CE+Dice, on-device
@@ -276,10 +284,7 @@ def main() -> None:
 
             return run
 
-        t_short = timed(make_runner(STEPS_SHORT), seg_state, jax.random.key(2))
-        t_long = timed(make_runner(STEPS_LONG), seg_state, jax.random.key(2))
-        dt = max(t_long - t_short, 1e-9)
-        return batch_size * (STEPS_LONG - STEPS_SHORT) / dt
+        return scan_diff_throughput(make_runner, seg_state, jax.random.key(2), batch_size)
 
     payload = {
         "metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px",

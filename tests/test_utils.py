@@ -9,6 +9,11 @@ from adunet.utils import sorted_alphanumeric, split_indices
 def test_sorted_alphanumeric_numeric_order():
     items = ["img10.png", "img2.png", "img1.png", "IMG3.png"]
     assert sorted_alphanumeric(items) == ["img1.png", "img2.png", "IMG3.png", "img10.png"]
+    # mixed digit-leading and letter-leading names must not raise (regression:
+    # str-vs-int key comparison crashed discovery on e.g. DIV2K + a stray file)
+    assert sorted_alphanumeric(["0801.png", "thumbnail.png", "0002.png"]) == [
+        "0002.png", "0801.png", "thumbnail.png"
+    ]
 
 
 def test_split_indices_deterministic_and_disjoint():
