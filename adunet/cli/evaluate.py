@@ -16,7 +16,7 @@ from typing import List, Optional
 
 
 def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(description="Evaluate a trained adaptive-depth U-Net checkpoint.")
+    parser = argparse.ArgumentParser(description="Offline grid-tile evaluation of a trained SR checkpoint.")
     parser.add_argument("--model-path", type=Path, required=True,
                         help="Orbax checkpoint root (directory written by train_sr).")
     parser.add_argument("--scale", type=float, required=True)
@@ -118,10 +118,23 @@ def main(argv: Optional[List[str]] = None) -> None:
     )
 
     eval_shave = infer_eval_shave(args.scale, args.eval_shave)
-    summary, per_patch = evaluate_sr(state, eval_ds, eval_scale=args.scale, eval_shave=eval_shave)
+
+    # Multi-chip: shard the patch stream over a DP mesh so each chip scores
+    # 1/N of the tiles (params replicated once up front).
+    import jax
+
+    mesh = None
+    if jax.process_count() == 1 and len(jax.devices()) > 1:
+        from adunet.parallel.mesh import make_mesh, replicate
+
+        mesh = make_mesh()
+        state = replicate(state, mesh)
+    summary, per_patch = evaluate_sr(
+        state, eval_ds, eval_scale=args.scale, eval_shave=eval_shave, mesh=mesh
+    )
     attach_filenames(per_patch, patch_labels)
 
-    print(f"Evaluated {summary.samples} patches ({len(hr_files)} images).")
+    print(f"Scored {summary.samples} patches across {len(hr_files)} images.")
     print(f"  PSNR(Y):     {summary.psnr_mean:.4f} +/- {summary.psnr_std:.4f} dB")
     print(f"  SSIM(Y):     {summary.ssim_mean:.4f} +/- {summary.ssim_std:.4f}")
     print(f"  MS-SSIM(Y):  {summary.msssim_mean:.4f} +/- {summary.msssim_std:.4f}")
@@ -147,7 +160,7 @@ def main(argv: Optional[List[str]] = None) -> None:
         "created_at": timestamp,
     }
     write_outputs(run_dir, summary, per_patch, config_payload, not args.skip_per_image)
-    print(f"[done] Report written to {run_dir}")
+    print(f"[done] Evaluation report at {run_dir}")
 
 
 if __name__ == "__main__":

@@ -151,7 +151,7 @@ def main() -> None:
 
     logs_root = args.logs_root.expanduser().resolve()
     if not logs_root.is_dir():
-        raise SystemExit(f"Logs root not found: {logs_root}")
+        raise SystemExit(f"log root missing on disk: {logs_root}")
     results = process_logs(logs_root, args.output_root.expanduser().resolve(), args.pattern)
     if not results:
         print("No epoch metrics found in any transcript.")

@@ -25,7 +25,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--from-export", type=Path, default=None,
                         help="Serve from a StableHLO artifact (cli/export_model.py) "
                              "instead of a checkpoint; no model rebuild involved.")
-    parser.add_argument("--scale", type=float, required=True)
+    parser.add_argument("--scale", type=float, default=None,
+                        help="Degradation scale; required unless --assume-lr "
+                             "skips the synthetic degrade (checkpoint loads also "
+                             "need it to rebuild the architecture).")
     parser.add_argument("--input-dir", type=Path, required=True)
     parser.add_argument("--output-dir", type=Path, required=True)
     parser.add_argument("--image-suffix", type=str, default=".png")
@@ -40,7 +43,27 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--assume-lr", action="store_true",
                         help="Treat inputs as already-degraded LR images (no synthetic "
                              "degradation before the forward pass).")
-    return parser.parse_args(argv)
+    args = parser.parse_args(argv)
+
+    # Flag-consistency validation (ADVICE r2): conflicting sources must error,
+    # and --scale is only demanded where something actually consumes it.
+    if args.from_export is not None and args.model_path is not None:
+        parser.error("--model-path and --from-export are mutually exclusive; "
+                     "pick one weight source.")
+    if args.from_export is not None and args.depth_override is not None:
+        parser.error("--depth-override has no effect on an exported artifact "
+                     "(the depth is baked into the StableHLO program).")
+    if args.from_export is not None and args.latest:
+        parser.error("--latest has no effect on an exported artifact; "
+                     "re-export from the desired checkpoint instead.")
+    needs_scale = (
+        not args.assume_lr            # synthetic degrade runs at --scale
+        or args.from_export is None   # checkpoint rebuild needs the scale
+    )
+    if needs_scale and args.scale is None:
+        parser.error("--scale is required (it drives the synthetic degrade "
+                     "and/or the checkpoint architecture rebuild).")
+    return args
 
 
 def _tile_starts(extent: int, patch: int, overlap: int) -> List[int]:

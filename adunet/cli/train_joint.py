@@ -83,7 +83,7 @@ def train(args: argparse.Namespace) -> dict:
         args.train_image_dir.expanduser(), args.train_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_train,
     )
-    train_pairs = process_shard(train_pairs)  # multi-host slice (equal lengths)
+    train_pairs = process_shard(train_pairs, seed=args.seed)  # multi-host slice (equal lengths)
     val_pairs = None
     if args.val_image_dir is not None and args.val_mask_dir is not None:
         val_pairs = discover_pairs(
@@ -174,6 +174,7 @@ def train(args: argparse.Namespace) -> dict:
     eval_step = make_joint_eval_step(
         model, sr_loss_fn, seg_loss_fn,
         sr_weight=args.sr_weight, seg_weight=args.seg_weight, data_scale=args.scale,
+        per_sample=True,
     )
 
     result = fit(
@@ -192,6 +193,7 @@ def train(args: argparse.Namespace) -> dict:
         ckpt=ckpt,
         mesh=mesh,
         log_dir=run_dir if main else None,
+        val_per_sample=True,
     )
 
     payload = {

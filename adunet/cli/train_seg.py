@@ -41,6 +41,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--val_masks", type=str, required=True)
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--n_devices", type=int, default=None)
+    parser.add_argument("--precise_bn", type=int, default=0,
+                        help="Re-estimate BN population stats from N train batches "
+                             "before each validation (0 = momentum EMA, Keras parity).")
     return parser.parse_args(argv)
 
 
@@ -167,7 +170,23 @@ def train(cfg) -> dict:
         tb_writer = None
 
     train_step = make_seg_train_step(model, loss_fn, augment=cfg.augment)
-    eval_step = make_seg_eval_step(model, loss_fn)
+    eval_step = make_seg_eval_step(model, loss_fn, per_sample=True)
+
+    pre_val_hook = None
+    if cfg.precise_bn > 0:
+        import itertools
+
+        from adunet.train.seg import make_bn_refresh_step, precise_batch_stats
+
+        refresh = make_bn_refresh_step(model)
+
+        def pre_val_hook(s_):
+            imgs = (
+                jnp.asarray(b[0])
+                for b in itertools.islice(iter(train_ds), cfg.precise_bn)
+            )
+            put = (lambda x: replicate(x, mesh)) if mesh is not None else None
+            return precise_batch_stats(s_, imgs, refresh, put=put)
 
     result = fit(
         state,
@@ -186,6 +205,8 @@ def train(cfg) -> dict:
         mesh=mesh,
         log_dir=run_dir if main else None,
         tb_writer=tb_writer,
+        val_per_sample=True,
+        pre_val_hook=pre_val_hook,
     )
     state = result.state
 
@@ -193,7 +214,7 @@ def train(cfg) -> dict:
     vdicts, vweights = [], []
     for images, masks in val_ds:
         out = eval_step(state, (jnp.asarray(images), jnp.asarray(masks)))
-        vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
+        vdicts.append({k: float(np.mean(np.asarray(v))) for k, v in out.items()})
         vweights.append(images.shape[0])
     total = sum(vweights)
     eval_metrics = {

@@ -89,7 +89,7 @@ def train(args: argparse.Namespace) -> dict:
     )
     from adunet.parallel.distributed import process_shard
 
-    train_pairs = process_shard(train_pairs)  # multi-host slice (equal lengths)
+    train_pairs = process_shard(train_pairs, seed=args.seed)  # multi-host slice (equal lengths)
     from adunet.parallel.distributed import is_main_process
 
     _is_main = is_main_process()  # host-side artifacts are process-0-only
@@ -97,7 +97,7 @@ def train(args: argparse.Namespace) -> dict:
         args.val_image_dir.expanduser(), args.val_mask_dir.expanduser(),
         args.image_suffix, args.mask_suffix, args.limit_val,
     )
-    print(f"Loaded {len(train_pairs)} training samples and {len(val_pairs)} validation samples.")
+    print(f"Discovered {len(train_pairs)} train / {len(val_pairs)} val image-mask pairs.")
 
     train_ds = SegPairDataset(
         train_pairs, batch_size=args.batch_size, image_size=args.image_size,
@@ -178,7 +178,8 @@ def train(args: argparse.Namespace) -> dict:
         augment="flips" if args.augment else "none",
         extra_metrics=extra,
     )
-    eval_step = make_seg_eval_step(model, loss_fn, extra_metrics=extra)
+    eval_step = make_seg_eval_step(model, loss_fn, extra_metrics=extra,
+                                   per_sample=True)
 
     result = fit(
         state,
@@ -198,6 +199,7 @@ def train(args: argparse.Namespace) -> dict:
         ckpt=ckpt,
         mesh=mesh,
         log_dir=run_dir if _is_main else None,
+        val_per_sample=True,
     )
     state = result.state
 

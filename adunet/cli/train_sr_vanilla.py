@@ -79,7 +79,7 @@ def train(args: argparse.Namespace) -> dict:
     hr_images = load_image_stack(args.high_res_dir.expanduser(), args.hr_size, limit=args.limit)
     lr_images = load_image_stack(args.low_res_dir.expanduser(), args.hr_size, limit=args.limit)
     if hr_images.shape != lr_images.shape:
-        raise ValueError("High-resolution and low-resolution stacks must align one-to-one.")
+        raise ValueError("HR and LR stacks differ in length; need one LR per HR image.")
 
     train_split = 1.0 - (args.val_split + args.test_split)
     tr_idx, va_idx, te_idx = split_indices(
@@ -114,7 +114,7 @@ def train(args: argparse.Namespace) -> dict:
     # shared steps (train/sr.py) — the same BatchNorm-mutable closure the
     # tuner consumes; an inline copy here had already started to drift
     train_step = make_vanilla_sr_train_step(model, loss_fn)
-    val_step = make_vanilla_sr_val_step(model, loss_fn)
+    val_step = make_vanilla_sr_val_step(model, loss_fn, per_sample=True)
 
     @functools.partial(jax.jit)
     def eval_step(state: TrainState, batch):
@@ -159,6 +159,7 @@ def train(args: argparse.Namespace) -> dict:
         ckpt=ckpt,
         mesh=mesh,
         log_dir=run_dir if _is_main else None,
+        val_per_sample=True,
     )
     state = result.state
 

@@ -71,6 +71,12 @@ class SRTrainConfig:
     profile: bool = False
     # step-0 TensorBoard preview image count (reference train_adaptive_unet.py:572)
     preview_patches: int = 3
+    # Path to VGG19 conv weights (.npz, keys block{i}_conv{j}/kernel|bias,
+    # HWIO) for the 'combined' perceptual term. None = seeded random weights
+    # (ImageNet weights are not downloadable in the offline build env; drop
+    # an artifact in and this flag makes the reference's exact loss
+    # available with no code change — reference train_adaptive_unet.py:336-360).
+    vgg19_npz: Optional[str] = None
     # stream HR patches as uint8, normalising to [0,1] f32 on device
     uint8_feed: bool = False
     # cache the whole (uniform-size) corpus in HBM; sample patches on device
@@ -81,17 +87,17 @@ class SRTrainConfig:
 
     def validate(self) -> None:
         if self.patch_size <= 0:
-            raise ValueError("patch_size must be a positive integer.")
+            raise ValueError("patch_size: expected an integer >= 1.")
         if self.patches_per_image <= 0:
-            raise ValueError("patches_per_image must be positive.")
+            raise ValueError("patches_per_image: expected a value >= 1.")
         if self.eval_stride is not None and self.eval_stride <= 0:
-            raise ValueError("eval_stride must be positive when provided.")
+            raise ValueError("eval_stride: when set, expected a value >= 1.")
         if self.shuffle_buffer < 0:
-            raise ValueError("shuffle_buffer must be non-negative.")
+            raise ValueError("shuffle_buffer: expected a value >= 0.")
         if self.max_depth < 1:
-            raise ValueError("max_depth must be at least 1.")
+            raise ValueError("max_depth: expected a value >= 1.")
         if self.initial_epoch < 0:
-            raise ValueError("initial_epoch must be non-negative.")
+            raise ValueError("initial_epoch: expected a value >= 0.")
         if self.initial_epoch >= self.epochs:
             raise ValueError("initial_epoch must be smaller than epochs to resume training.")
         if not 0 < self.scale < 1:
@@ -107,7 +113,7 @@ class SRTrainConfig:
             )
         train_split = 1.0 - (self.val_split + self.test_split)
         if train_split <= 0:
-            raise ValueError("Validation and test splits leave no room for training data.")
+            raise ValueError("val_split + test_split consume the whole corpus; nothing left to train on.")
 
 
 @dataclass
@@ -179,6 +185,12 @@ class SegTrainConfig:
     threshold: float = 0.5
     augment: bool = True
     n_devices: Optional[int] = None
+    # Precise-BN: before each validation pass, re-estimate the BatchNorm
+    # population statistics from this many un-augmented training batches
+    # using the CURRENT weights (0 = keep the 0.99-momentum EMA, the Keras
+    # parity behavior). Fixes eval-mode metric collapse when the EMA lags
+    # drifting activations on small corpora (round-2 protocol-B seed-42).
+    precise_bn: int = 0
 
     def resolved(self) -> "SegTrainConfig":
         proto = PROTOCOLS[self.protocol]

@@ -60,7 +60,7 @@ def find_images(directory: str | Path, suffix: str = ".png", limit: Optional[int
     if limit is not None and limit > 0:
         paths = paths[:limit]
     if not paths:
-        raise ValueError(f"No images found in {directory} with suffix {suffix}")
+        raise ValueError(f"found no *{suffix} images under {directory}")
     return paths
 
 
@@ -75,9 +75,9 @@ def collect_isic_pairs(image_dir: str | Path, mask_dir: str | Path) -> List[Tupl
     image_dir = Path(image_dir)
     mask_dir = Path(mask_dir)
     if not image_dir.exists():
-        raise FileNotFoundError(f"Image directory does not exist: {image_dir}")
+        raise FileNotFoundError(f"image directory missing on disk: {image_dir}")
     if not mask_dir.exists():
-        raise FileNotFoundError(f"Mask directory does not exist: {mask_dir}")
+        raise FileNotFoundError(f"mask directory missing on disk: {mask_dir}")
 
     def valid_image(path: Path) -> bool:
         return (
@@ -97,9 +97,9 @@ def collect_isic_pairs(image_dir: str | Path, mask_dir: str | Path) -> List[Tupl
     mask_paths = sorted([p for p in mask_dir.iterdir() if valid_mask(p)], key=normalise_isic_key)
 
     if not image_paths:
-        raise FileNotFoundError(f"No image files found in {image_dir}")
+        raise FileNotFoundError(f"found no image files under {image_dir}")
     if not mask_paths:
-        raise FileNotFoundError(f"No mask files found in {mask_dir}")
+        raise FileNotFoundError(f"found no mask files under {mask_dir}")
 
     mask_index = {normalise_isic_key(p): p for p in mask_paths}
     missing: List[str] = []
@@ -116,7 +116,7 @@ def collect_isic_pairs(image_dir: str | Path, mask_dir: str | Path) -> List[Tupl
         suffix = "" if len(missing) <= 5 else "…"
         raise ValueError(
             f"Missing {len(missing)} segmentation masks in {mask_dir}; "
-            f"examples: {truncated}{suffix}"
+            f"e.g. {truncated}{suffix}"
         )
     return pairs
 
@@ -159,16 +159,16 @@ def discover_pairs(
     mask_lookup = {canonical_key(p): p for p in mask_dir.rglob(f"*{mask_suffix}") if p.is_file()}
 
     if not image_paths:
-        raise ValueError(f"No images found in {image_dir} with suffix {image_suffix}")
+        raise ValueError(f"found no *{image_suffix} images under {image_dir}")
     if not mask_lookup:
-        raise ValueError(f"No masks found in {mask_dir} with suffix {mask_suffix}")
+        raise ValueError(f"found no *{mask_suffix} masks under {mask_dir}")
 
     pairs: List[Tuple[str, str]] = []
     for image_path in image_paths:
         key = canonical_key(image_path)
         mask_path = mask_lookup.get(key)
         if mask_path is None:
-            raise ValueError(f"Missing mask for image {image_path.name} (expected key {key})")
+            raise ValueError(f"no mask pairs with image {image_path.name} (looked for key {key})")
         pairs.append((str(image_path), str(mask_path)))
 
     if limit is not None:

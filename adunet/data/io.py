@@ -72,7 +72,7 @@ def _read_rgb(path: Path) -> np.ndarray:
     if _HAS_CV2:
         img = cv2.imread(str(path), cv2.IMREAD_COLOR)
         if img is None:
-            raise FileNotFoundError(f"Unable to read image: {path}")
+            raise FileNotFoundError(f"image failed to decode: {path}")
         return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
     if _HAS_PIL:
         with Image.open(path) as im:
@@ -141,7 +141,7 @@ def load_image_stack(directory: str | Path, size: int, limit: Optional[int] = No
         names = names[:limit]
     images: List[np.ndarray] = [load_rgb_image(directory / n, size) for n in names]
     if not images:
-        raise ValueError(f"No images found in {directory}")
+        raise ValueError(f"found no images under {directory}")
     return np.stack(images, axis=0)
 
 
@@ -153,7 +153,7 @@ def _read_gray(path: Path) -> np.ndarray:
     elif _HAS_CV2:
         arr = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
         if arr is None:
-            raise FileNotFoundError(f"Unable to read mask: {path}")
+            raise FileNotFoundError(f"mask failed to decode: {path}")
     elif _HAS_PIL:
         with Image.open(path) as im:
             arr = np.asarray(im.convert("L"))

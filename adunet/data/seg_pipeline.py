@@ -193,7 +193,7 @@ def build_isic_dataset(
     if shard_across_processes:
         from adunet.parallel.distributed import process_shard
 
-        pairs = process_shard(pairs)  # equal shard lengths -> equal step counts
+        pairs = process_shard(pairs, seed=seed)  # equal shard lengths -> equal step counts
     ds = SegPairDataset(
         pairs,
         batch_size=batch_size,

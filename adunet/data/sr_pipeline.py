@@ -61,11 +61,11 @@ class TrainingPatchDataset:
     ):
         hr_files = list(hr_files)
         if not hr_files:
-            raise ValueError("hr_files must contain at least one path.")
+            raise ValueError("empty hr_files list: need at least one training image.")
         if patches_per_image <= 0:
-            raise ValueError("patches_per_image must be positive.")
+            raise ValueError("patches_per_image: expected a value >= 1.")
         if patch_size <= 0:
-            raise ValueError("patch_size must be positive.")
+            raise ValueError("patch_size: expected a value >= 1.")
         if output_dtype not in ("float32", "uint8"):
             raise ValueError("output_dtype must be 'float32' or 'uint8'.")
         self.hr_files = hr_files
@@ -172,10 +172,10 @@ class GridPatchDataset:
     ):
         hr_files = list(hr_files)
         if not hr_files:
-            raise ValueError("hr_files must contain at least one path.")
+            raise ValueError("empty hr_files list: need at least one training image.")
         stride = stride or patch_size
         if stride <= 0:
-            raise ValueError("stride must be positive.")
+            raise ValueError("stride: expected a value >= 1.")
         self.hr_files = hr_files
         self.patch_size = patch_size
         self.scale = float(scale)

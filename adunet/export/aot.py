@@ -287,19 +287,30 @@ def load_artifact(path: str | Path) -> Tuple[Callable, Dict[str, Any]]:
 
     path = Path(path).expanduser()
     if path.is_dir():
+        base = path
         blob = (path / ARTIFACT_FILE).read_bytes()
-        mf = path / MANIFEST_FILE
-        manifest = json.loads(mf.read_text()) if mf.exists() else {}
     else:
+        # Bare .stablehlo file: a --quantize export keeps its weights in a
+        # sibling npz referenced by the manifest, so look for the manifest
+        # next to the file instead of silently skipping it (ADVICE r2).
+        base = path.parent
         blob = path.read_bytes()
-        manifest = {}
+    mf = base / MANIFEST_FILE
+    manifest = json.loads(mf.read_text()) if mf.exists() else {}
     import jax
 
     exported = jax_export.deserialize(blob)
     if manifest.get("weights_file"):
-        with np.load(path / manifest["weights_file"]) as z:
+        with np.load(base / manifest["weights_file"]) as z:
             # device-resident once; numpy leaves would re-transfer per call
             leaves = [jax.device_put(z[f"w{i}"])
                       for i in range(manifest["weights_leaves"])]
         return (lambda x: exported.call(x, leaves)), manifest
+    if len(exported.in_avals) > 1:
+        raise ValueError(
+            f"artifact at {path} expects {len(exported.in_avals)} inputs but no "
+            f"manifest with a weights_file was found next to it — pass the export "
+            f"directory (with {MANIFEST_FILE} and the weights npz) instead of the "
+            f"bare program file."
+        )
     return exported.call, manifest

@@ -93,5 +93,5 @@ def build_losses_and_metrics(
         return combined, metrics
 
     raise ValueError(
-        f"Unknown loss '{loss_name}'. Expected one of: 'charbonnier', 'l1', 'combined'."
+        f"loss '{loss_name}' is not registered; choose charbonnier, l1, or combined."
     )

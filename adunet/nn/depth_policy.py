@@ -29,7 +29,7 @@ __all__ = [
 def infer_depth_from_scale(scale: float, min_depth: int = 1, max_depth: int = 4) -> int:
     """Design-table policy: scale<=0.25 -> 1, <=0.45 -> 2, else 3 (clamped)."""
     if not (0.05 < scale < 1.0):
-        raise ValueError("Scale should be between 0 and 1 (exclusive).")
+        raise ValueError("scale: expected a value strictly inside (0, 1).")
     if scale <= 0.25:
         depth = 1
     elif scale <= 0.45:
@@ -61,15 +61,15 @@ def custom_depth_from_scale(
 ) -> int:
     """Geometric policy: deepen while ceil(extent*scale) stays >= min_feature."""
     if not (0.05 < scale < 1.0):
-        raise ValueError("Scale should be between 0 and 1 (exclusive).")
+        raise ValueError("scale: expected a value strictly inside (0, 1).")
     if min_depth < 1:
-        raise ValueError("min_depth must be at least 1.")
+        raise ValueError("min_depth: expected a value >= 1.")
     if max_depth < 1:
-        raise ValueError("max_depth must be at least 1.")
+        raise ValueError("max_depth: expected a value >= 1.")
     if base_resolution <= 0:
-        raise ValueError("base_resolution must be positive.")
+        raise ValueError("base_resolution: expected a value >= 1.")
     if min_feature < 1:
-        raise ValueError("min_feature must be at least 1 pixel.")
+        raise ValueError("min_feature: expected a pixel extent >= 1.")
 
     depth = max(min_depth, 1)
     feature_extent = base_resolution

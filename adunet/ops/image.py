@@ -29,7 +29,7 @@ def degrade(hr: jax.Array, scale: float, output_size: int | None = None) -> jax.
     Works on (..., H, W, C); under jit the two resizes are MXU matmuls.
     """
     if not 0 < scale < 1:
-        raise ValueError("Scale must be between 0 and 1 for degradation.")
+        raise ValueError("degrade scale: expected a value strictly inside (0, 1).")
     h, w = hr.shape[-3], hr.shape[-2]
     if output_size is not None and output_size > 0:
         target_h = target_w = int(output_size)

@@ -19,7 +19,7 @@ __all__ = ["maybe_initialize_distributed", "process_shard", "process_seed"]
 _initialized = False
 
 
-def process_shard(seq):
+def process_shard(seq, *, seed=None):
     """This process's stride-slice of a global sequence (file/pair lists).
 
     Multi-host data parallelism requires each process to feed DIFFERENT
@@ -32,10 +32,22 @@ def process_shard(seq):
     contains GSPMD collectives all processes must join, so per-process step
     counts derived from shard sizes must match exactly or training deadlocks
     at the first epoch boundary only some processes reach.
+
+    ``seed`` (pass the run's base seed, identical on all processes) applies
+    one shared permutation of the global sequence before slicing, so the
+    wrap-fill duplicates are a seeded-random subset instead of always
+    ``seq[0], seq[1], ...`` — without it, the same leading samples would be
+    deterministically oversampled for the entire run whenever ``len(seq)``
+    does not divide by the process count (ADVICE r2).
     """
     n = jax.process_count()
     if n <= 1 or not len(seq):
         return seq
+    if seed is not None and len(seq) % n:
+        import numpy as np
+
+        order = np.random.default_rng(int(seed)).permutation(len(seq))
+        seq = [seq[int(i)] for i in order]
     pid = jax.process_index()
     per = math.ceil(len(seq) / n)
     return [seq[i % len(seq)] for i in range(pid, pid + n * per, n)]

@@ -26,6 +26,7 @@ __all__ = [
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",
+    "pad_and_shard_ragged",
     "replicate",
 ]
 
@@ -79,6 +80,46 @@ def shard_batch(batch, mesh: Mesh, axis: str = "data"):
         return jax.device_put(x, sharding)
 
     return jax.tree_util.tree_map(put, batch)
+
+
+def pad_and_shard_ragged(batch, mesh: Mesh, axis: str = "data"):
+    """Shard a possibly-ragged batch over the mesh's data axis with padding.
+
+    Validation/eval batches come from grid tiling and can have any leading
+    size; replicating them (the round-2 behavior) made every chip do the full
+    batch — 1/N of the available work each. Instead: pad the leading dim up
+    to the next multiple of the data-axis extent by repeating the final row,
+    shard on ``axis``, and return a mask so the jitted metric reduction can
+    ignore the padded rows.
+
+    Returns ``(sharded_batch, sharded_mask, n_valid)`` where ``mask`` is a
+    float32 ``(padded,)`` vector with 1.0 on real rows. Single-process only
+    (multi-host callers keep the replicated path — every process holds the
+    full val set, and splitting it across processes is a separate contract).
+    """
+    if jax.process_count() > 1:
+        raise ValueError(
+            "pad_and_shard_ragged is a single-process fast path; use "
+            "replicate() for multi-host validation batches."
+        )
+    n_shards = mesh.shape[axis]
+    leaves = jax.tree_util.tree_leaves(batch)
+    n_valid = leaves[0].shape[0]
+    padded = -(-n_valid // n_shards) * n_shards
+
+    def pad(x):
+        x = np.asarray(x)
+        if x.shape[0] == padded:
+            return x
+        fill = np.repeat(x[-1:], padded - x.shape[0], axis=0)
+        return np.concatenate([x, fill], axis=0)
+
+    sharding = batch_sharding(mesh, axis)
+    out = jax.tree_util.tree_map(lambda x: jax.device_put(pad(x), sharding), batch)
+    mask = np.zeros((padded,), np.float32)
+    mask[:n_valid] = 1.0
+    mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))
+    return out, mask, n_valid
 
 
 def make_dp_axis_mesh(axis_name: str, shards: int, n_devices: Optional[int] = None) -> Mesh:

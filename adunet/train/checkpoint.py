@@ -84,7 +84,23 @@ class CheckpointManager:
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
 
     def save(self, step: int, state: TrainState, metrics: Optional[Dict[str, float]] = None) -> None:
-        metrics = {k: float(v) for k, v in (metrics or {}).items() if np.isfinite(v)}
+        # ±inf is a legitimate monitored value (val PSNR on identical shaved
+        # patches is +inf — fit._improved deliberately treats it as a best).
+        # Orbax metrics must be JSON-serialisable, so encode infinities as
+        # ±float_max: ordering under best_fn is unchanged (an infinite PSNR
+        # outranks every finite one) and on-disk best selection now agrees
+        # with in-memory restore_best_weights (ADVICE r2). NaNs stay dropped.
+        def _encode(v: float) -> float:
+            v = float(v)
+            if np.isposinf(v):
+                return np.finfo(np.float64).max
+            if np.isneginf(v):
+                return -np.finfo(np.float64).max
+            return v
+
+        metrics = {
+            k: _encode(v) for k, v in (metrics or {}).items() if not np.isnan(v)
+        }
         self._mngr.save(
             step,
             args=ocp.args.StandardSave(state_to_pytree(state)),

@@ -85,8 +85,12 @@ def make_joint_eval_step(
     sr_weight: float = 1.0,
     seg_weight: float = 1.0,
     data_scale: float = 0.5,
+    per_sample: bool = False,
 ):
-    """Returns jitted (state, (images, masks)) -> batch metrics."""
+    """Returns jitted (state, (images, masks)) -> batch metrics.
+
+    ``per_sample=True`` returns ``(B,)`` vectors (singleton-batch vmap over
+    the whole loss/metric tail) for mesh-sharded masked validation."""
 
     @partial(jax.jit)
     def step(state: TrainState, batch) -> Dict[str, jax.Array]:
@@ -94,10 +98,18 @@ def make_joint_eval_step(
         images = _as_f01(images)
         lr_batch = degrade(images, data_scale)
         sr_pred, seg_pred = state.apply_fn({"params": state.params}, lr_batch)
-        loss, metrics = _joint_loss_and_metrics(
-            sr_loss_fn, seg_loss_fn, sr_weight, seg_weight,
-            images, masks, sr_pred, seg_pred,
-        )
-        return {"loss": loss, **metrics}
+
+        def tail(hr_i, mask_i, sr_i, seg_i):
+            loss, metrics = _joint_loss_and_metrics(
+                sr_loss_fn, seg_loss_fn, sr_weight, seg_weight,
+                hr_i, mask_i, sr_i, seg_i,
+            )
+            return {"loss": loss, **metrics}
+
+        if per_sample:
+            return jax.vmap(
+                lambda h, m, s, g: tail(h[None], m[None], s[None], g[None])
+            )(images, masks, sr_pred, seg_pred)
+        return tail(images, masks, sr_pred, seg_pred)
 
     return step

@@ -21,7 +21,11 @@ from typing import Any, Callable, Dict, Iterable, List, Optional
 import jax
 import numpy as np
 
-from adunet.parallel.mesh import replicate as _replicate_tree, shard_batch
+from adunet.parallel.mesh import (
+    pad_and_shard_ragged,
+    replicate as _replicate_tree,
+    shard_batch,
+)
 from adunet.train.checkpoint import CheckpointManager
 from adunet.train.state import TrainState
 
@@ -128,6 +132,8 @@ def fit(
     verbose: int = 1,
     tb_writer=None,
     stop_on_nan: bool = True,
+    val_per_sample: bool = False,
+    pre_val_hook: Optional[Callable[[TrainState], TrainState]] = None,
 ) -> FitResult:
     """Run the training loop.
 
@@ -136,6 +142,11 @@ def fit(
     - ``val_data``: re-iterable of host batches; ``val_step(state, batch)``.
     - ``mesh``: if given, host batches are device_put sharded on 'data'.
     - ``ckpt``: best-metric checkpointing + step-level resume source.
+    - ``val_per_sample``: ``val_step`` returns ``(B,)`` per-sample vectors
+      (see ``lift_per_sample``). On a single-process mesh, validation batches
+      are then padded to a data-axis-divisible shape and SHARDED, with padded
+      rows masked inside a jitted reduction — each chip does 1/N of the val
+      work instead of replicating the whole batch (VERDICT r2 #3).
     """
     rng = rng if rng is not None else jax.random.key(0)
     history: List[EpochLog] = []
@@ -167,6 +178,17 @@ def fit(
         log_dir.mkdir(parents=True, exist_ok=True)
 
     train_it = iter(train_iter)
+
+    # jitted masked reduction for the sharded val path: per-sample vectors ×
+    # padding mask -> per-key sums; only scalars cross back to host
+    masked_val = None
+    if val_per_sample and mesh is not None and val_step is not None:
+        import jax.numpy as jnp
+
+        @jax.jit
+        def masked_val(state_, batch_, mask_):
+            out = val_step(state_, batch_)
+            return {k: jnp.sum(jnp.asarray(v) * mask_) for k, v in out.items()}
 
     def put(batch):
         if mesh is not None:
@@ -239,17 +261,39 @@ def fit(
 
             val_metrics: Dict[str, float] = {}
             if val_data is not None and val_step is not None:
+                if pre_val_hook is not None:
+                    # e.g. precise-BN statistics re-estimation: the returned
+                    # state is used for validation AND kept (checkpoints then
+                    # carry the refreshed statistics)
+                    state = pre_val_hook(state)
                 vdicts: List[Dict[str, float]] = []
                 vweights: List[float] = []
+                shard_val = (
+                    val_per_sample and mesh is not None and jax.process_count() == 1
+                )
                 for vbatch in val_data:
                     n = batch_size_of(vbatch)
-                    # val batches can be ragged (grid tiling) — replicate instead
-                    # of batch-sharding so any size works on any mesh; the
-                    # helper also handles multi-host global-array assembly
+                    if shard_val:
+                        # ragged batch -> pad to a data-axis-divisible shape,
+                        # shard, masked-sum on device (one scalar pull per key)
+                        sb, smask, n = pad_and_shard_ragged(vbatch, mesh)
+                        out = masked_val(state, sb, smask)
+                        vdicts.append(
+                            {k: float(np.asarray(v)) / n for k, v in out.items()}
+                        )
+                        vweights.append(n)
+                        continue
+                    # multi-host (or scalar val_step): replicate — correct on
+                    # any mesh; the helper also assembles multi-host globals
                     if mesh is not None:
                         vbatch = _replicate_tree(vbatch, mesh)
                     out = val_step(state, vbatch)
-                    vdicts.append({k: float(np.asarray(v)) for k, v in out.items()})
+                    vdicts.append(
+                        {
+                            k: float(np.mean(np.asarray(v)))
+                            for k, v in out.items()
+                        }
+                    )
                     vweights.append(n)
                 val_metrics = _mean_of(vdicts, vweights)
 

@@ -19,7 +19,12 @@ from adunet.data.augment import augment_pair_batch, flip_pair_batch
 from adunet.metrics.seg import dice_coefficient, iou_score
 from adunet.train.state import TrainState
 
-__all__ = ["make_seg_train_step", "make_seg_eval_step"]
+__all__ = [
+    "make_seg_train_step",
+    "make_seg_eval_step",
+    "make_bn_refresh_step",
+    "precise_batch_stats",
+]
 
 
 def make_seg_train_step(
@@ -79,9 +84,17 @@ def make_seg_eval_step(
     model,
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
     extra_metrics: Dict[str, Callable] | None = None,
+    per_sample: bool = False,
 ):
     """Returns jitted (state, (images, masks)) -> batch metrics (no augment,
-    BN running averages)."""
+    BN running averages).
+
+    ``per_sample=True`` lifts every metric to a ``(B,)`` vector
+    (singleton-batch vmap) so fit() can shard ragged val batches over the
+    mesh and mask padding. Batch-aggregated extras (e.g. hard mIoU) become
+    sample-aggregated under this mode — the per-batch convention was already
+    an approximation across batches.
+    """
 
     @partial(jax.jit)
     def step(state: TrainState, batch) -> Dict[str, jax.Array]:
@@ -90,13 +103,103 @@ def make_seg_eval_step(
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         pred = state.apply_fn(variables, images, train=False)
-        metrics = {
-            "loss": loss_fn(masks, pred),
-            "dice": dice_coefficient(masks, pred),
-            "iou": iou_score(masks, pred),
+        fns = {
+            "loss": loss_fn,
+            "dice": dice_coefficient,
+            "iou": iou_score,
+            **(extra_metrics or {}),
         }
-        for name, fn in (extra_metrics or {}).items():
-            metrics[name] = fn(masks, pred)
-        return metrics
+        if per_sample:
+            from adunet.train.sr import lift_per_sample
+
+            return {name: lift_per_sample(fn)(masks, pred) for name, fn in fns.items()}
+        return {name: fn(masks, pred) for name, fn in fns.items()}
 
     return step
+
+
+def make_bn_refresh_step(model, momentum: float = 0.99):
+    """One jitted accumulation step for precise-BN re-estimation.
+
+    Diagnosis (round-3, VERDICT r2 #2): with BatchNorm momentum 0.99 the
+    running statistics are an exponential average over the LAST ~100 train
+    batches. When activations keep drifting (fixed-LR protocol B) or the
+    corpus is small, the EMA chases a moving target and can sit far from the
+    stats of ANY real batch — eval-mode predictions collapse while train-mode
+    dice is ~0.96 (the checked-in protocol-B seed-42 run). Precise-BN
+    (Wu & Johnson, arXiv:2105.07576) replaces the EMA with population
+    statistics recomputed from the CURRENT weights over N batches:
+    mean = E_b[mean_b], var = E_b[var_b + mean_b^2] - mean^2.
+
+    Each call runs one train-mode forward and returns the accumulator with
+    this batch's (mean, var + mean^2) contribution added. The per-batch
+    stats are recovered by inverting the EMA update new = m*old + (1-m)*b.
+    """
+    import jax.numpy as jnp
+
+    def _contrib(est):
+        # flax BN stats nest arrays under exactly {'mean','var'} keys; the
+        # var slot accumulates the second moment var_b + mean_b^2
+        def rec(node):
+            out = {}
+            for k, v in node.items():
+                if hasattr(v, "items"):
+                    out[k] = rec(v)
+                elif k == "var":
+                    out[k] = v + jnp.square(node["mean"])
+                else:
+                    out[k] = v
+            return out
+
+        return rec(est)
+
+    @jax.jit
+    def step(state: TrainState, images, acc):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        _, new_vars = state.apply_fn(
+            variables, images, train=True, mutable=["batch_stats"]
+        )
+        est = jax.tree_util.tree_map(
+            lambda new, old: (new - momentum * old) / (1.0 - momentum),
+            new_vars["batch_stats"],
+            state.batch_stats,
+        )
+        return jax.tree_util.tree_map(lambda a, c: a + c, acc, _contrib(est))
+
+    return step
+
+
+def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None):
+    """Replace ``state.batch_stats`` with population stats over the batches.
+
+    ``image_batches``: iterable of image arrays (no masks); ``put``: optional
+    device-placement fn (mesh replication). Returns the state unchanged when
+    the iterable is empty.
+    """
+    import jax.numpy as jnp
+
+    acc = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
+    n = 0
+    for images in image_batches:
+        if put is not None:
+            images = put(images)
+        acc = refresh_step(state, images, acc)
+        n += 1
+    if n == 0:
+        return state
+
+    def rec(node):
+        out = {}
+        for k, v in node.items():
+            if hasattr(v, "items"):
+                out[k] = rec(v)
+            elif k == "var":
+                mu = node["mean"] / n
+                # float32 EMA inversion amplifies rounding 1/(1-m)x; clamp
+                # the tiny negative excursions that can produce
+                out[k] = jnp.maximum(v / n - jnp.square(mu), 1e-12)
+            else:
+                out[k] = v / n
+        return out
+
+    return state.replace(batch_stats=rec(acc))

@@ -140,8 +140,26 @@ def make_sr_eval_step(model, eval_scale: float, eval_shave: int):
     return step
 
 
-def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK):
-    """Validation loss/psnr on grid patches, matching fit()'s val metrics."""
+def lift_per_sample(fn: Callable) -> Callable:
+    """Lift a batch-mean loss/metric to per-sample values.
+
+    Singleton-batch vmap: each sample is evaluated as its own batch of one,
+    so any ``fn(y_true, y_pred) -> scalar`` that means over the batch becomes
+    a ``(B,)`` vector whose mean equals the original batch value (equal-sized
+    samples). This is what lets fit() shard ragged validation batches over
+    the mesh and mask padded rows instead of replicating the whole batch on
+    every chip (VERDICT r2 #3).
+    """
+    return jax.vmap(lambda t, p: fn(t[None], p[None]))
+
+
+def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK,
+                     per_sample: bool = False):
+    """Validation loss/psnr on grid patches, matching fit()'s val metrics.
+
+    ``per_sample=True`` returns ``(B,)`` vectors instead of batch means so
+    the caller can shard the batch and mask padding.
+    """
 
     @partial(jax.jit)
     def step(state: TrainState, batch):
@@ -150,6 +168,13 @@ def make_sr_val_step(model, loss_fn, data_scale: float = DATA_LR_SHRINK):
             variables["batch_stats"] = state.batch_stats
         lr_batch, hr_batch = _lr_hr_of(batch, data_scale)
         pred = state.apply_fn(variables, lr_batch)
+        if per_sample:
+            hr = hr_batch.astype(jnp.float32)
+            clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+            return {
+                "loss": lift_per_sample(loss_fn)(hr_batch, pred),
+                "psnr": psnr(hr, clipped),
+            }
         loss, metrics = sr_loss_and_metrics(loss_fn, hr_batch, pred)
         return {"loss": loss, **metrics}
 
@@ -192,7 +217,7 @@ def make_vanilla_sr_train_step(model, loss_fn, donate: bool = True):
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
-def make_vanilla_sr_val_step(model, loss_fn):
+def make_vanilla_sr_val_step(model, loss_fn, per_sample: bool = False):
     """Paired-batch validation step (inference-mode BatchNorm)."""
 
     @partial(jax.jit)
@@ -203,9 +228,15 @@ def make_vanilla_sr_val_step(model, loss_fn):
             variables["batch_stats"] = state.batch_stats
         pred = state.apply_fn(variables, lr_batch, train=False)
         clipped = jnp.clip(pred.astype(jnp.float32), 0.0, 1.0)
+        psnr_v = psnr(hr_batch.astype(jnp.float32), clipped)
+        if per_sample:
+            return {
+                "loss": lift_per_sample(loss_fn)(hr_batch, pred),
+                "psnr": psnr_v,
+            }
         return {
             "loss": loss_fn(hr_batch, pred),
-            "psnr": jnp.mean(psnr(hr_batch.astype(jnp.float32), clipped)),
+            "psnr": jnp.mean(psnr_v),
         }
 
     return step

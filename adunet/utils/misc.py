@@ -41,12 +41,12 @@ def split_indices(
     """Seeded shuffle → fractional train/val/test split with the reference's
     guards keeping at least one val and one test element when possible."""
     if not 0 < train < 1:
-        raise ValueError("Train fraction should be between 0 and 1.")
+        raise ValueError("train fraction: expected a value inside [0, 1].")
     if not 0 <= val < 1 or not 0 <= test < 1:
-        raise ValueError("Val/test fractions should be between 0 and 1.")
+        raise ValueError("val/test fractions: expected values inside [0, 1].")
     total = train + val + test
     if total <= 0:
-        raise ValueError("Fractions must sum to a positive value.")
+        raise ValueError("split fractions sum to zero: nothing to split.")
 
     rng = np.random.default_rng(seed)
     indices = np.arange(n_samples)
@@ -62,7 +62,7 @@ def split_indices(
     )
 
     if train_count <= 0:
-        raise ValueError("Train split is empty; adjust fractions.")
+        raise ValueError("no indices left for the train split after val/test allocation.")
 
     train_idx = indices[:train_count]
     val_idx = indices[train_count : train_count + val_count]

@@ -310,3 +310,172 @@ def test_fit_stops_on_nonfinite_loss():
     # epoch 1 fine (2 steps), epoch 2 contains the NaN -> stop
     assert result.stopped_early
     assert len(result.history) == 1
+
+
+def test_sharded_val_matches_replicated_val():
+    """VERDICT r2 #3: padded+sharded+masked validation must agree with the
+    replicated path on ragged batches, on an 8-device mesh."""
+    from adunet.parallel.mesh import pad_and_shard_ragged
+    from adunet.train.sr import lift_per_sample
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = _synthetic_hr(n=13)  # 13 -> ragged vs both batch 8 and 8 devices
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+
+    vstep_vec = make_sr_val_step(model, loss_fn, per_sample=True)
+    vstep_scalar = make_sr_val_step(model, loss_fn)
+
+    # split into ragged batches: 8 + 5
+    batches = [hr[:8], hr[8:]]
+
+    # replicated reference: batch-size-weighted mean of per-batch scalar means
+    ref, wsum = {}, 0.0
+    for b in batches:
+        out = vstep_scalar(state, jnp.asarray(b))
+        n = b.shape[0]
+        for k, v in out.items():
+            ref[k] = ref.get(k, 0.0) + float(v) * n
+        wsum += n
+    ref = {k: v / wsum for k, v in ref.items()}
+
+    # sharded path: pad to 8-divisible, shard, masked sums
+    @jax.jit
+    def masked(state_, batch_, mask_):
+        out = vstep_vec(state_, batch_)
+        return {k: jnp.sum(v * mask_) for k, v in out.items()}
+
+    got, gsum = {}, 0.0
+    for b in batches:
+        sb, smask, n = pad_and_shard_ragged(b, mesh)
+        sums = masked(state_r, sb, smask)
+        for k, v in sums.items():
+            got[k] = got.get(k, 0.0) + float(v)
+        gsum += n
+    got = {k: v / gsum for k, v in got.items()}
+
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k], rtol=2e-5), k
+
+    # per-sample lift really is the batch mean decomposed
+    vec = vstep_vec(state, jnp.asarray(hr[:8]))
+    scal = vstep_scalar(state, jnp.asarray(hr[:8]))
+    for k in scal:
+        np.testing.assert_allclose(float(jnp.mean(vec[k])), float(scal[k]), rtol=2e-5)
+
+
+def test_fit_sharded_val_end_to_end():
+    """fit(val_per_sample=True) on an 8-dev mesh == fit on 1 device (no mesh),
+    same init/data: identical history val metrics within float tolerance."""
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = _synthetic_hr(n=16)
+    val = [hr[:8], hr[8:13]]  # ragged second batch
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+
+    def run(mesh):
+        state = create_train_state(
+            model, jax.random.key(0), hr[:2], make_optimizer(1e-3)
+        )
+        if mesh is not None:
+            state = replicate(state, mesh)
+        tstep = make_sr_train_step(model, loss_fn, donate=False)
+        vstep = make_sr_val_step(model, loss_fn, per_sample=True)
+        res = fit(
+            state,
+            _loop(hr, 8),
+            tstep,
+            steps_per_epoch=2,
+            epochs=2,
+            val_data=val,
+            val_step=vstep,
+            mesh=mesh,
+            verbose=0,
+            val_per_sample=True,
+        )
+        return [e.val_metrics for e in res.history]
+
+    single = run(None)
+    sharded = run(make_mesh(8))
+    for a, b in zip(single, sharded):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=5e-5, err_msg=k)
+
+
+def test_precise_bn_exactness_and_rescue():
+    """VERDICT r2 #2 mitigation. (a) Exactness: refreshing stats from a
+    single batch makes eval-mode forward equal train-mode forward on that
+    batch (population stats == that batch's stats, layer by layer).
+    (b) Rescue: after a few training steps the 0.99-momentum EMA still sits
+    at its init (mean 0 / var 1) and eval-mode dice collapses; precise-BN
+    recovers it to ~train-mode quality."""
+    from adunet.train.seg import (
+        make_bn_refresh_step,
+        make_seg_train_step,
+        precise_batch_stats,
+    )
+    from adunet.metrics.seg import dice_coefficient
+
+    size, base, depth, batch = 32, 8, 2, 8
+    model = build_adaptive_depth_unet(input_size=size, base_channels=base, depth=depth)
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:size, 0:size]
+    imgs = np.empty((4, batch, size, size, 3), np.float32)
+    masks = np.empty((4, batch, size, size, 1), np.float32)
+    for b in range(4):
+        for i in range(batch):
+            cy, cx = rng.uniform(8, 24, 2)
+            blob = ((yy - cy) ** 2 + (xx - cx) ** 2) < rng.uniform(5, 10) ** 2
+            imgs[b, i] = np.clip(
+                0.2 + 0.6 * blob[..., None] + 0.1 * rng.standard_normal((size, size, 3)),
+                0, 1,
+            )
+            masks[b, i] = blob[..., None]
+
+    state = create_train_state(
+        model, jax.random.key(1), jnp.zeros((1, size, size, 3)), make_optimizer(3e-3)
+    )
+    loss_fn = make_hybrid_ce_dice_loss(0.4, 0.6)
+    tstep = make_seg_train_step(model, loss_fn, augment="none", donate=False)
+    for e in range(3):
+        for b in range(4):
+            state, m = tstep(state, (jnp.asarray(imgs[b]), jnp.asarray(masks[b])), jax.random.key(b))
+    train_dice = float(m["dice"])
+
+    refresh = make_bn_refresh_step(model)
+
+    # (a) exactness on a single batch
+    one = jnp.asarray(imgs[0])
+    state_one = precise_batch_stats(state, [one], refresh)
+    eval_pred = model.apply(
+        {"params": state_one.params, "batch_stats": state_one.batch_stats},
+        one, train=False,
+    )
+    train_pred, _ = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        one, train=True, mutable=["batch_stats"],
+    )
+    np.testing.assert_allclose(
+        np.asarray(eval_pred), np.asarray(train_pred), atol=2e-3
+    )
+
+    # (b) rescue: EMA (12 updates at momentum .99) ~ init stats -> collapse
+    def eval_dice(s):
+        preds = model.apply(
+            {"params": s.params, "batch_stats": s.batch_stats},
+            jnp.asarray(imgs[1]), train=False,
+        )
+        return float(dice_coefficient(jnp.asarray(masks[1]), preds))
+
+    ema_dice = eval_dice(state)
+    state_precise = precise_batch_stats(
+        state, [jnp.asarray(imgs[b]) for b in range(4)], refresh
+    )
+    precise_dice = eval_dice(state_precise)
+    assert precise_dice > ema_dice + 0.05, (ema_dice, precise_dice, train_dice)
+    assert precise_dice > 0.75 * train_dice, (precise_dice, train_dice)
