@@ -47,6 +47,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--residual_head_channels", type=int, default=64)
     parser.add_argument("--mixed_precision", action="store_true", help="bf16 compute / f32 params.")
     parser.add_argument("--remat", action="store_true", help="Rematerialise conv blocks (deep models).")
+    parser.add_argument("--remat_levels", type=int, default=None,
+                        help="Selective remat: checkpoint only the N shallowest "
+                             "levels (largest activations); overrides --remat.")
     parser.add_argument("--consistent_degradation", action="store_true",
                         help="Train-time LR degradation at --scale instead of the reference's constant 0.5.")
     parser.add_argument("--model_dir", type=str, default="runs/models")
@@ -205,6 +208,7 @@ def train(cfg) -> dict:
         max_depth=cfg.max_depth,
         dtype=dtype,
         remat=cfg.remat,
+        remat_levels=cfg.remat_levels,
     )
 
     perceptual_fn = None

@@ -65,6 +65,9 @@ class SRTrainConfig:
     data_lr_shrink: float = 0.5
     consistent_degradation: bool = False
     remat: bool = False
+    # Selective remat: checkpoint only the N shallowest (largest-activation)
+    # encoder/decoder levels; None follows --remat for all blocks
+    remat_levels: Optional[int] = None
     n_devices: Optional[int] = None  # None = all visible devices
     # channel (tensor) parallelism degree over a 'model' mesh axis
     model_shards: int = 1

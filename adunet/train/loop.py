@@ -195,18 +195,27 @@ def fit(
             return shard_batch(batch, mesh)
         return batch
 
-    # Host pipeline: pull + device_put the next batch from a transfer thread
+    # Host pipeline: pull + device_put upcoming batches from transfer threads
     # while the dispatched step computes. device_put can block its calling
     # thread (e.g. over a remote-TPU transfer tunnel), so the overlap must
-    # come from a thread, not just async dispatch.
+    # come from threads, not just async dispatch. DOUBLE-buffered (VERDICT r2
+    # #6): two batches in flight on two workers — concurrent puts multiplex
+    # the transfer link, covering per-put latency that a single staged batch
+    # leaves exposed. The iterator is advanced on the CALLING thread (worker
+    # threads would race on next(train_it)); only the device_put runs async.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    transfer_pool = ThreadPoolExecutor(max_workers=1)
+    import os as _os
+
+    prefetch_depth = max(1, int(_os.environ.get("ADUNET_PREFETCH_DEPTH", "2")))
+    transfer_pool = ThreadPoolExecutor(max_workers=prefetch_depth)
 
     def stage_next():
-        return transfer_pool.submit(lambda: put(next(train_it)))
+        batch = next(train_it)
+        return transfer_pool.submit(put, batch)
 
-    pending_batch = None  # future carried across epochs: one extra pull total
+    pending_batches = deque()  # futures carried across epochs
 
     # the transfer thread must not outlive fit() on ANY exit path
     try:
@@ -223,11 +232,11 @@ def fit(
             t0 = time.perf_counter()
             images_seen = 0
             acc = None  # metric sums stay on device; one host sync per epoch
-            if pending_batch is None:
-                pending_batch = stage_next()
+            while len(pending_batches) < prefetch_depth:
+                pending_batches.append(stage_next())
             for _ in range(steps_per_epoch):
-                batch = pending_batch.result()
-                pending_batch = stage_next()
+                batch = pending_batches.popleft().result()
+                pending_batches.append(stage_next())
                 rng, step_rng = jax.random.split(rng)
                 images_seen += samples_per_step or batch_size_of(batch)
                 state, metrics = train_step(state, batch, step_rng)

@@ -173,31 +173,38 @@ def main() -> None:
                 sb = superbatch.reshape(CHUNK, batch_size, 256, 256, superbatch.shape[-1])
                 return jax.lax.scan(body, state, sb)
 
-            def next_superbatch():
-                return jax.device_put(
-                    np.concatenate([next(it) for _ in range(CHUNK)], axis=0)
-                )
+            def assemble_superbatch():
+                return np.concatenate([next(it) for _ in range(CHUNK)], axis=0)
 
             # warmup: compile + fill the loader's prefetch queue
-            state, losses = run_chunk(state, next_superbatch())
+            state, losses = run_chunk(state, jax.device_put(assemble_superbatch()))
             float(np.asarray(losses).sum())
 
             # device_put blocks its thread on this environment's transfer
-            # tunnel, so stage the next super-batch from a transfer thread
-            # while the current chunk computes
+            # tunnel, so stage upcoming super-batches from transfer threads
+            # while the current chunk computes. DOUBLE-buffered (two puts in
+            # flight on two workers — concurrent transfers multiplex the
+            # tunnel); superbatch assembly stays on the calling thread so
+            # next(it) is never raced.
+            from collections import deque
             from concurrent.futures import ThreadPoolExecutor
 
+            DEPTH = 2
             n_chunks = HOST_FEED_STEPS // CHUNK
-            with ThreadPoolExecutor(max_workers=1) as pool:
-                pending = pool.submit(next_superbatch)
+            with ThreadPoolExecutor(max_workers=DEPTH) as pool:
+                pending = deque(
+                    pool.submit(jax.device_put, assemble_superbatch())
+                    for _ in range(DEPTH)
+                )
                 t0 = time.perf_counter()
                 for _ in range(n_chunks):
-                    sb = pending.result()
-                    pending = pool.submit(next_superbatch)
+                    sb = pending.popleft().result()
+                    pending.append(pool.submit(jax.device_put, assemble_superbatch()))
                     state, losses = run_chunk(state, sb)
                 float(np.asarray(losses).sum())  # force completion
                 dt = time.perf_counter() - t0
-                pending.result()
+                for f in pending:
+                    f.result()
             return batch_size * n_chunks * CHUNK / dt
 
     value = None

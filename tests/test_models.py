@@ -113,3 +113,37 @@ def test_vanilla_seg_unet_binary_and_multiclass():
     y3 = jax.jit(m3.apply)(v3, x)
     assert y3.shape == (1, 32, 32, 3)
     np.testing.assert_allclose(np.asarray(y3.sum(-1)), 1.0, atol=1e-5)
+
+
+def test_selective_remat_identical_math_and_params():
+    """remat_levels must be a pure memory/compute knob: same param tree, same
+    forward outputs, same gradients as the stored-activation model."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from adunet.models import build_super_resolution_unet
+
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3), dtype=np.float32))
+    variants = {}
+    for tag, kw in {
+        "none": dict(remat=False),
+        "all": dict(remat=True),
+        "sel2": dict(remat_levels=2),
+        "sel0": dict(remat_levels=0),
+    }.items():
+        model, _ = build_super_resolution_unet(
+            scale=0.5, depth_override=3, input_size=32, base_channels=8, **kw
+        )
+        variables = model.init(jax.random.key(7), x)
+
+        def loss(p, m=model):
+            return jnp.mean(jnp.square(m.apply({"params": p}, x)))
+
+        g = jax.jit(jax.grad(loss))(variables["params"])
+        variants[tag] = (variables["params"], jax.tree_util.tree_leaves(g))
+
+    ref_params, ref_grads = variants["none"]
+    for tag, (params, grads) in variants.items():
+        assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(ref_params), tag
+        for a, b in zip(grads, ref_grads):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, err_msg=tag)
