@@ -179,14 +179,22 @@ def train(cfg) -> dict:
         from adunet.train.seg import make_bn_refresh_step, precise_batch_stats
 
         refresh = make_bn_refresh_step(model)
+        # The refresh inputs are un-augmented training images — identical
+        # every epoch — so decode + device-transfer them ONCE and keep them
+        # device-resident; each epoch then costs N jitted forwards. (A fused
+        # lax.scan single-program variant exists — make_precise_bn_program —
+        # but this environment's remote compile service takes tens of
+        # minutes on it, so the CLI uses the per-batch programs, which share
+        # the train step's cached compilation budget. BN statistics average
+        # over batch x H x W positions, so even a few batches estimate them
+        # tightly — keep --precise_bn small where dispatch latency matters.)
+        put = (lambda x: replicate(x, mesh)) if mesh is not None else jnp.asarray
+        refresh_batches = [
+            put(b[0]) for b in itertools.islice(iter(train_ds), cfg.precise_bn)
+        ]
 
         def pre_val_hook(s_):
-            imgs = (
-                jnp.asarray(b[0])
-                for b in itertools.islice(iter(train_ds), cfg.precise_bn)
-            )
-            put = (lambda x: replicate(x, mesh)) if mesh is not None else None
-            return precise_batch_stats(s_, imgs, refresh, put=put)
+            return precise_batch_stats(s_, refresh_batches, refresh)
 
     result = fit(
         state,

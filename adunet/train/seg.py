@@ -24,6 +24,7 @@ __all__ = [
     "make_seg_eval_step",
     "make_bn_refresh_step",
     "precise_batch_stats",
+    "make_precise_bn_program",
 ]
 
 
@@ -203,3 +204,53 @@ def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None
         return out
 
     return state.replace(batch_stats=rec(acc))
+
+
+def make_precise_bn_program(model, momentum: float = 0.99):
+    """Whole precise-BN re-estimation as ONE jitted program.
+
+    ``run(state, stack)`` with ``stack`` of shape (N, B, H, W, C) scans the N
+    refresh batches on device and returns the precise population statistics
+    tree. One dispatch per validation pass — the per-batch variant
+    (:func:`precise_batch_stats`) pays a host->device round trip per batch,
+    which on a high-latency transfer link costs ~1-2 s x N every epoch.
+    """
+    import jax.numpy as jnp
+
+    def _walk(node, fn_mean, fn_var):
+        out = {}
+        for k, v in node.items():
+            if hasattr(v, "items"):
+                out[k] = _walk(v, fn_mean, fn_var)
+            elif k == "var":
+                out[k] = fn_var(v, node["mean"])
+            else:
+                out[k] = fn_mean(v)
+        return out
+
+    @jax.jit
+    def run(state: TrainState, stack):
+        def body(acc, images):
+            variables = {"params": state.params, "batch_stats": state.batch_stats}
+            _, new_vars = state.apply_fn(
+                variables, images, train=True, mutable=["batch_stats"]
+            )
+            est = jax.tree_util.tree_map(
+                lambda new, old: (new - momentum * old) / (1.0 - momentum),
+                new_vars["batch_stats"],
+                state.batch_stats,
+            )
+            # var slots accumulate the second moment var_b + mean_b^2
+            contrib = _walk(est, lambda m: m, lambda v, m: v + jnp.square(m))
+            return jax.tree_util.tree_map(lambda a, c: a + c, acc, contrib), None
+
+        acc0 = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
+        acc, _ = jax.lax.scan(body, acc0, stack)
+        n = stack.shape[0]
+        return _walk(
+            acc,
+            lambda m: m / n,
+            lambda v, m: jnp.maximum(v / n - jnp.square(m / n), 1e-12),
+        )
+
+    return run

@@ -15,6 +15,17 @@ def setup_runtime() -> None:
     sweep steps with repeated shapes near-instant. Opt out with
     ADUNET_NO_COMPILE_CACHE=1.
     """
+    # Debugging hook: `kill -USR1 <pid>` dumps every thread's Python stack
+    # to stderr without disturbing the process — the only way to see where a
+    # long-running training job sits when remote compiles/transfers stall.
+    try:
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, all_threads=True)
+    except Exception:
+        pass
+
     if os.environ.get("ADUNET_NO_COMPILE_CACHE") == "1":
         return
     cache_dir = os.environ.get(

@@ -258,6 +258,35 @@ def main() -> None:
 
         return scan_diff_throughput(make_runner, state, jax.random.key(3), batch_size)
 
+    def run_eval_bench(batch_size: int) -> float:
+        """Offline-eval tail throughput (degrade -> forward -> Y-channel
+        PSNR/SSIM/MS-SSIM/MSE per patch) — the evaluator's per-chip rate.
+        With the round-3 sharded evaluator this scales ~linearly with mesh
+        size (each chip scores 1/N of the patches; exactness asserted in
+        tests/test_golden_eval.py)."""
+        from adunet.train.sr import make_sr_eval_step
+
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-4)
+        )
+        estep = make_sr_eval_step(None, eval_scale=0.5, eval_shave=4)
+
+        def make_runner(n_steps):
+            @jax.jit
+            def run(state, rng):
+                def body(key, _):
+                    key, sub = jax.random.split(key)
+                    hr = jax.random.uniform(sub, (batch_size, 256, 256, 3), jnp.float32)
+                    out = estep(state, hr)
+                    return key, out["psnr_y"].sum()
+
+                _, sums = jax.lax.scan(body, rng, None, length=n_steps)
+                return state, sums
+
+            return run
+
+        return scan_diff_throughput(make_runner, state, jax.random.key(5), batch_size)
+
     def run_seg_bench(batch_size: int = 32) -> float:
         """Protocol-A seg step (BatchNorm U-Net, hybrid CE+Dice, on-device
         augmentation) — the second workload's on-chip throughput. The
@@ -317,6 +346,10 @@ def main() -> None:
         payload["seg_train_imgs_per_sec_protocolA_256px"] = round(run_seg_bench(), 2)
     except Exception as exc:
         payload["seg_bench_error"] = str(exc)[:200]
+    try:
+        payload["eval_imgs_per_sec"] = round(run_eval_bench(batch_used), 2)
+    except Exception as exc:
+        payload["eval_bench_error"] = str(exc)[:200]
 
     print(json.dumps(payload))
 

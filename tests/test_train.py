@@ -479,3 +479,29 @@ def test_precise_bn_exactness_and_rescue():
     precise_dice = eval_dice(state_precise)
     assert precise_dice > ema_dice + 0.05, (ema_dice, precise_dice, train_dice)
     assert precise_dice > 0.75 * train_dice, (precise_dice, train_dice)
+
+
+def test_precise_bn_program_matches_per_batch_variant():
+    """The fused scan program must produce the same statistics as the
+    per-batch accumulation API."""
+    from adunet.train.seg import (
+        make_bn_refresh_step,
+        make_precise_bn_program,
+        precise_batch_stats,
+    )
+
+    model = build_adaptive_depth_unet(input_size=16, base_channels=4, depth=1)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+    )
+    rng = np.random.default_rng(3)
+    batches = [jnp.asarray(rng.random((4, 16, 16, 3), dtype=np.float32)) for _ in range(3)]
+
+    ref = precise_batch_stats(state, batches, make_bn_refresh_step(model))
+    fused = make_precise_bn_program(model)(state, jnp.stack(batches))
+
+    ref_leaves = jax.tree_util.tree_leaves(ref.batch_stats)
+    fused_leaves = jax.tree_util.tree_leaves(fused)
+    assert len(ref_leaves) == len(fused_leaves)
+    for a, b in zip(ref_leaves, fused_leaves):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
