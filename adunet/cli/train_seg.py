@@ -215,6 +215,9 @@ def train(cfg) -> dict:
         tb_writer=tb_writer,
         val_per_sample=True,
         pre_val_hook=pre_val_hook,
+        # seg val sets are small (ISIC-scale: ~100 MB); keeping the prepared
+        # batches device-resident removes per-epoch decode+transfer
+        cache_val_on_device=True,
     )
     state = result.state
 

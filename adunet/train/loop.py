@@ -62,16 +62,6 @@ class FitResult:
     stopped_early: bool
 
 
-def _mean_of(dicts: List[Dict[str, float]], weights: List[float]) -> Dict[str, float]:
-    if not dicts:
-        return {}
-    total = sum(weights)
-    out: Dict[str, float] = {}
-    for key in dicts[0]:
-        out[key] = float(sum(d[key] * w for d, w in zip(dicts, weights)) / total)
-    return out
-
-
 def _improved(current: float, best: Optional[float], mode: str) -> bool:
     # NaN best is replaceable by anything non-NaN; an INFINITE best is a
     # legitimate record (val PSNR hits +inf on identical shaved patches and
@@ -134,6 +124,7 @@ def fit(
     stop_on_nan: bool = True,
     val_per_sample: bool = False,
     pre_val_hook: Optional[Callable[[TrainState], TrainState]] = None,
+    cache_val_on_device: bool = False,
 ) -> FitResult:
     """Run the training loop.
 
@@ -224,6 +215,29 @@ def fit(
             leaf = jax.tree_util.tree_leaves(batch)[0]
             return int(leaf.shape[0])
 
+        # Validation batches are identical every epoch; optionally prepare
+        # (pad + shard/replicate + device_put) them ONCE and keep them
+        # device-resident — re-decoding and re-transferring the val set per
+        # epoch costs seconds on a high-latency device link. Opt-in: the val
+        # set must fit in device memory alongside the model.
+        val_device_cache = [] if (cache_val_on_device and val_data is not None) else None
+        _shard_val = (
+            val_per_sample and mesh is not None and jax.process_count() == 1
+        )
+
+        def _prepare_val_batches():
+            for vbatch in val_data:
+                n = batch_size_of(vbatch)
+                if _shard_val:
+                    sb, smask, n = pad_and_shard_ragged(vbatch, mesh)
+                    item = ("sharded", (sb, smask), n)
+                else:
+                    vb = _replicate_tree(vbatch, mesh) if mesh is not None else vbatch
+                    item = ("plain", vb, n)
+                if val_device_cache is not None:
+                    val_device_cache.append(item)
+                yield item
+
         for epoch in range(initial_epoch, epochs):
             # first-class profiling (the reference disabled its profiler and
             # scraped logs instead — SURVEY.md §5): trace the first epoch
@@ -275,36 +289,44 @@ def fit(
                     # state is used for validation AND kept (checkpoints then
                     # carry the refreshed statistics)
                     state = pre_val_hook(state)
-                vdicts: List[Dict[str, float]] = []
-                vweights: List[float] = []
-                shard_val = (
-                    val_per_sample and mesh is not None and jax.process_count() == 1
-                )
-                for vbatch in val_data:
-                    n = batch_size_of(vbatch)
-                    if shard_val:
-                        # ragged batch -> pad to a data-axis-divisible shape,
-                        # shard, masked-sum on device (one scalar pull per key)
-                        sb, smask, n = pad_and_shard_ragged(vbatch, mesh)
-                        out = masked_val(state, sb, smask)
-                        vdicts.append(
-                            {k: float(np.asarray(v)) / n for k, v in out.items()}
-                        )
-                        vweights.append(n)
-                        continue
-                    # multi-host (or scalar val_step): replicate — correct on
-                    # any mesh; the helper also assembles multi-host globals
-                    if mesh is not None:
-                        vbatch = _replicate_tree(vbatch, mesh)
-                    out = val_step(state, vbatch)
-                    vdicts.append(
-                        {
-                            k: float(np.mean(np.asarray(v)))
+                # metric SUMS accumulate on device; ONE host sync per epoch.
+                # Per-batch float() pulls each pay a full device round trip —
+                # ~2 s x batches x keys per epoch on a remote-TPU link.
+                vacc = None
+                vcount = 0.0
+                if val_device_cache is not None and len(val_device_cache):
+                    val_iter = val_device_cache  # prepared once, reused
+                else:
+                    val_iter = _prepare_val_batches()
+                for prepared in val_iter:
+                    kind, payload, n = prepared
+                    if kind == "sharded":
+                        sb, smask = payload
+                        sums = masked_val(state, sb, smask)
+                    else:
+                        out = val_step(state, payload)
+                        # scalar batch means x n, or per-sample vector sums —
+                        # both reduce to sample-weighted sums
+                        import jax.numpy as _vjnp
+
+                        sums = {
+                            k: (
+                                _vjnp.sum(v)
+                                if getattr(v, "ndim", 0)
+                                else v * float(n)
+                            )
                             for k, v in out.items()
                         }
+                    vacc = (
+                        sums
+                        if vacc is None
+                        else jax.tree_util.tree_map(lambda a, b: a + b, vacc, sums)
                     )
-                    vweights.append(n)
-                val_metrics = _mean_of(vdicts, vweights)
+                    vcount += n
+                if vacc is not None:
+                    val_metrics = {
+                        k: float(np.asarray(v)) / vcount for k, v in vacc.items()
+                    }
 
             log = EpochLog(
                 epoch=epoch + 1,

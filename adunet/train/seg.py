@@ -170,6 +170,32 @@ def make_bn_refresh_step(model, momentum: float = 0.99):
     return step
 
 
+@partial(jax.jit, static_argnames=("n",))
+def _finalize_precise_stats(acc, n: int):
+    """Accumulated (Σmean_b, Σ[var_b + mean_b²]) -> population (mean, var).
+
+    Jitted as ONE program: the tree walk issues ~2 ops per BN layer, and
+    running those eagerly costs a dispatch each — dozens of RPCs per epoch
+    on a remote-device link."""
+    import jax.numpy as jnp
+
+    def rec(node):
+        out = {}
+        for k, v in node.items():
+            if hasattr(v, "items"):
+                out[k] = rec(v)
+            elif k == "var":
+                mu = node["mean"] / n
+                # float32 EMA inversion amplifies rounding 1/(1-m)x; clamp
+                # the tiny negative excursions that can produce
+                out[k] = jnp.maximum(v / n - jnp.square(mu), 1e-12)
+            else:
+                out[k] = v / n
+        return out
+
+    return rec(acc)
+
+
 def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None):
     """Replace ``state.batch_stats`` with population stats over the batches.
 
@@ -188,22 +214,7 @@ def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None
         n += 1
     if n == 0:
         return state
-
-    def rec(node):
-        out = {}
-        for k, v in node.items():
-            if hasattr(v, "items"):
-                out[k] = rec(v)
-            elif k == "var":
-                mu = node["mean"] / n
-                # float32 EMA inversion amplifies rounding 1/(1-m)x; clamp
-                # the tiny negative excursions that can produce
-                out[k] = jnp.maximum(v / n - jnp.square(mu), 1e-12)
-            else:
-                out[k] = v / n
-        return out
-
-    return state.replace(batch_stats=rec(acc))
+    return state.replace(batch_stats=_finalize_precise_stats(acc, n))
 
 
 def make_precise_bn_program(model, momentum: float = 0.99):

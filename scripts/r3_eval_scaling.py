@@ -1,12 +1,20 @@
-"""Demonstrate ~linear mesh scaling of the sharded evaluator (VERDICT r2 #3).
+"""Mesh-scaling probe for the sharded evaluator (VERDICT r2 #3).
 
-Runs the offline evaluator's jitted metric tail over the same patch stream on
-a 1-device and an 8-device CPU mesh (virtual devices) and reports wall-clock
-per configuration. Correctness (identical per-patch rows) is asserted by
-tests/test_golden_eval.py::test_evaluate_sr_sharded_matches_unsharded; this
-script is the throughput half of the "Done" criterion. Timing, not a test —
-CPU scaling is bounded by host parallelism, so expect clearly-sublinear-of-8
-but >>1 speedups.
+Runs the offline evaluator's jitted metric tail over the same patch stream
+on a 1-device and an 8-device CPU mesh (virtual devices) and reports
+wall-clock per configuration.
+
+IMPORTANT caveat, measured: virtual CPU devices
+(`xla_force_host_platform_device_count=8`) all share the SAME physical core
+pool, so total compute capacity is identical at every mesh size — an 8-way
+sharded run cannot go faster than 1-way here (measured 0.84x: same FLOPs
+plus partitioning overhead). The virtual mesh validates CORRECTNESS of the
+sharded program (identical per-patch rows:
+tests/test_golden_eval.py::test_evaluate_sr_sharded_matches_unsharded, and
+the mesh-invariance assertions in __graft_entry__.dryrun_multichip); the
+throughput claim rests on the structural fact that GSPMD partitions the
+batch rows 1/N per device (so on N real chips each chip does 1/N of the
+work) plus the real-chip absolute rate in bench.py's ``eval_imgs_per_sec``.
 
 Usage:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
@@ -30,6 +38,8 @@ import numpy as np
 import jax
 
 jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/adunet_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -41,9 +51,9 @@ from adunet.train.sr import make_sr_eval_step  # noqa: E402
 
 
 def main() -> None:
-    size, batch, n_batches = 128, 32, 12
+    size, batch, n_batches = 64, 32, 12
     model, _ = build_super_resolution_unet(
-        scale=0.5, depth_override=2, input_size=size, base_channels=32
+        scale=0.5, depth_override=2, input_size=size, base_channels=16
     )
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((1, size, size, 3)), make_optimizer(1e-4)

@@ -20,9 +20,10 @@ import numpy as np
 
 def main() -> None:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--scales", type=float, nargs="*", default=[0.8, 0.7])
+    parser.add_argument("--scales", type=float, nargs="*", default=[0.8])
     parser.add_argument("--steps", type=int, nargs=2, default=[6, 18])
-    parser.add_argument("--batches", type=int, nargs="*", default=[8, 16])
+    parser.add_argument("--policies", type=str, nargs="*", default=None)
+    parser.add_argument("--batches", type=int, nargs="*", default=[8])
     args = parser.parse_args()
 
     from adunet.utils.runtime import setup_runtime
@@ -97,13 +98,17 @@ def main() -> None:
                 return batch * (n_long - n_short) / (t_l - t_s)
         raise RuntimeError("scan-diff inverted repeatedly")
 
+    # 'none' is omitted by default: the 138M no-remat config OOMs after
+    # paying a full (multi-minute, remote) compile. Pass --policies to widen.
     policies = {
-        "none": dict(remat=False),
         "all": dict(remat=True),
-        "sel1": dict(remat_levels=1),
         "sel2": dict(remat_levels=2),
         "sel3": dict(remat_levels=3),
+        "sel4": dict(remat_levels=4),
     }
+    if args.policies:
+        extra = {"none": dict(remat=False), "sel1": dict(remat_levels=1)}
+        policies = {k: (policies | extra)[k] for k in args.policies}
     rows = []
     for scale in args.scales:
         for name, kw in policies.items():
