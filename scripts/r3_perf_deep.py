@@ -13,9 +13,15 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+# runnable from anywhere without PYTHONPATH (which breaks the TPU plugin
+# registration in this image)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
