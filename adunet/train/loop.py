@@ -282,8 +282,10 @@ def fit(
                 stopped_early = True
                 break
 
+            tail_t = {"val": 0.0, "ckpt": 0.0, "best": 0.0}
             val_metrics: Dict[str, float] = {}
             if val_data is not None and val_step is not None:
+                _tv0 = time.perf_counter()
                 if pre_val_hook is not None:
                     # e.g. precise-BN statistics re-estimation: the returned
                     # state is used for validation AND kept (checkpoints then
@@ -327,6 +329,7 @@ def fit(
                     val_metrics = {
                         k: float(np.asarray(v)) / vcount for k, v in vacc.items()
                     }
+                tail_t["val"] = time.perf_counter() - _tv0
 
             log = EpochLog(
                 epoch=epoch + 1,
@@ -344,7 +347,8 @@ def fit(
                 ips = images_seen / duration
                 print(
                     f"Epoch {epoch + 1}/{epochs} - {duration:.1f}s - "
-                    f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts),
+                    f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts)
+                    + f" [tail val {tail_t['val']:.1f}s]",
                     flush=True,
                 )
 
@@ -386,7 +390,9 @@ def fit(
                                 print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
 
             if ckpt is not None:
+                _tc0 = time.perf_counter()
                 ckpt.save(epoch + 1, state, metrics=monitored_pool)
+                tail_t["ckpt"] = time.perf_counter() - _tc0
 
             if current is not None:
                 if _improved(current, best_metric, monitor_mode):
@@ -394,9 +400,11 @@ def fit(
                     best_epoch = epoch + 1
                     wait = 0
                     if restore_best_weights:
+                        _tb0 = time.perf_counter()
                         best_params_host = jax.device_get(state.params)
                         if state.batch_stats is not None:
                             best_stats_host = jax.device_get(state.batch_stats)
+                        tail_t["best"] = time.perf_counter() - _tb0
                 else:
                     wait += 1
                     if patience is not None and patience > 0 and wait >= patience:
@@ -411,6 +419,12 @@ def fit(
                                 flush=True,
                             )
                         break
+            if verbose and (tail_t["ckpt"] >= 0.5 or tail_t["best"] >= 0.5):
+                print(
+                    f"  [epoch tail: ckpt {tail_t['ckpt']:.1f}s"
+                    f" best-pull {tail_t['best']:.1f}s]",
+                    flush=True,
+                )
 
         if restore_best_weights and best_params_host is not None:
             state = state.replace(params=jax.device_put(best_params_host))

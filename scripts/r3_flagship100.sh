@@ -9,10 +9,12 @@ rm -rf $BASE && mkdir -p $BASE
 python scripts/make_synth_corpus.py --out $BASE/train_hr --n 48 --size 512 --seed 0
 python scripts/make_synth_corpus.py --out $BASE/eval_hr --n 12 --size 512 --seed 777
 
-python -m adunet.cli.train_sr --scale 0.5 --batch_size 32 --epochs 100 \
-  --patches_per_image 16 --device_cache --patience 99 --mixed_precision \
+# depth_override 3 = the reference's checked-in scale-0.5 flagship config
+# (E1/E2 sweeps pin depth; the pure geometric policy would pick 4 here)
+python -m adunet.cli.train_sr --scale 0.5 --depth_override 3 --batch_size 32 \
+  --epochs 100 --patches_per_image 16 --device_cache --patience 99 --mixed_precision \
   --high_res_dir $BASE/train_hr --model_dir $BASE/models --log_dir $BASE/logs \
-  --run_name r3_flagship100 --seed 1234 2>&1 | tail -14
+  --run_name r3_flagship100 --seed 1234 2>&1 | tail -30
 
 python -m adunet.cli.evaluate \
   --model-path $BASE/models/unet_adaptive_scale0.50_depth3 \
