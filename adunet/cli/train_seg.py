@@ -44,6 +44,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--precise_bn", type=int, default=0,
                         help="Re-estimate BN population stats from N train batches "
                              "before each validation (0 = momentum EMA, Keras parity).")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap per-epoch checkpoint writes with the next epoch's "
+                             "compute (Orbax async save; restores barrier first).")
     return parser.parse_args(argv)
 
 
@@ -160,7 +163,9 @@ def train(cfg) -> dict:
     if main:
         (run_dir / "model_summary.txt").write_text(f"{table}\nTotal params: {n_params:,}\n")
 
-    ckpt = CheckpointManager(ckpt_dir, monitor="val_dice", mode="max")
+    ckpt = CheckpointManager(
+        ckpt_dir, monitor="val_dice", mode="max", async_save=cfg.async_checkpoint
+    )
 
     try:
         from tensorboardX import SummaryWriter

@@ -80,6 +80,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                              "per-step host->device traffic (DIV2K fits a v5e chip).")
     parser.add_argument("--profile", action="store_true",
                         help="Capture a jax.profiler trace of the first epoch into <run_dir>/profile.")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap per-epoch checkpoint writes with the next epoch's "
+                             "compute (Orbax async save; restores barrier first).")
     return parser.parse_args(argv)
 
 
@@ -290,7 +293,9 @@ def train(cfg) -> dict:
         )
     print(f"Model: depth={info['depth']} params={n_params:,} devices={n_dev}")
 
-    ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
+    ckpt = CheckpointManager(
+        ckpt_dir, monitor="val_loss", mode="min", async_save=cfg.async_checkpoint
+    )
     if main:
         ckpt.write_config(config_payload)
 

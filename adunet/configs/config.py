@@ -84,6 +84,9 @@ class SRTrainConfig:
     uint8_feed: bool = False
     # cache the whole (uniform-size) corpus in HBM; sample patches on device
     device_cache: bool = False
+    # overlap per-epoch checkpoint writes with the next epoch's compute
+    # (Orbax async save; saves barrier before any restore/close)
+    async_checkpoint: bool = False
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink
@@ -194,6 +197,8 @@ class SegTrainConfig:
     # parity behavior). Fixes eval-mode metric collapse when the EMA lags
     # drifting activations on small corpora (round-2 protocol-B seed-42).
     precise_bn: int = 0
+    # overlap per-epoch checkpoint writes with the next epoch's compute
+    async_checkpoint: bool = False
 
     def resolved(self) -> "SegTrainConfig":
         proto = PROTOCOLS[self.protocol]

@@ -52,6 +52,7 @@ class CheckpointManager:
         monitor: str = "val_loss",
         mode: str = "min",
         max_to_keep: int = 2,
+        async_save: bool = False,
     ):
         self.directory = Path(directory).absolute()
         self.directory.mkdir(parents=True, exist_ok=True)
@@ -82,6 +83,12 @@ class CheckpointManager:
             create=True,
         )
         self._mngr = ocp.CheckpointManager(self.directory, options=options)
+        # async_save: overlap the disk write with the next epoch's compute.
+        # Orbax's async path still snapshots device arrays to host inside
+        # save() (so later donation/mutation of the live state is safe) and
+        # serialises saves against each other; every restore/inspection
+        # entry point below barriers first.
+        self.async_save = async_save
 
     def save(self, step: int, state: TrainState, metrics: Optional[Dict[str, float]] = None) -> None:
         # ±inf is a legitimate monitored value (val PSNR on identical shaved
@@ -106,9 +113,11 @@ class CheckpointManager:
             args=ocp.args.StandardSave(state_to_pytree(state)),
             metrics=metrics,
         )
-        self._mngr.wait_until_finished()
+        if not self.async_save:
+            self._mngr.wait_until_finished()
 
     def _restore(self, step: int, state: TrainState) -> TrainState:
+        self._mngr.wait_until_finished()
         abstract = jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, state_to_pytree(state))
         tree = self._mngr.restore(step, args=ocp.args.StandardRestore(abstract))
         return pytree_into_state(state, tree)
@@ -116,6 +125,7 @@ class CheckpointManager:
     def _restore_weights(self, step: int, state: TrainState) -> TrainState:
         """Restore params (+ batch_stats) only — for inference/export consumers
         whose optimizer need not match the one that wrote the checkpoint."""
+        self._mngr.wait_until_finished()
         tree = {"step": state.step, "params": state.params}
         if state.batch_stats is not None:
             tree["batch_stats"] = state.batch_stats
@@ -135,22 +145,24 @@ class CheckpointManager:
         )
 
     def restore_latest_weights(self, state: TrainState) -> Optional[TrainState]:
-        step = self._mngr.latest_step()
+        step = self.latest_step()
         return None if step is None else self._restore_weights(step, state)
 
     def restore_best_weights(self, state: TrainState) -> Optional[TrainState]:
+        self._mngr.wait_until_finished()
         step = self._mngr.best_step()
         if step is None:
             step = self._mngr.latest_step()
         return None if step is None else self._restore_weights(step, state)
 
     def restore_latest(self, state: TrainState) -> Optional[TrainState]:
-        step = self._mngr.latest_step()
+        step = self.latest_step()
         if step is None:
             return None
         return self._restore(step, state)
 
     def restore_best(self, state: TrainState) -> Optional[TrainState]:
+        self._mngr.wait_until_finished()
         step = self._mngr.best_step()
         if step is None:
             step = self._mngr.latest_step()
@@ -159,10 +171,12 @@ class CheckpointManager:
         return self._restore(step, state)
 
     def latest_step(self) -> Optional[int]:
+        self._mngr.wait_until_finished()
         return self._mngr.latest_step()
 
     def write_config(self, config: Dict[str, Any]) -> None:
         (self.directory / "config.json").write_text(json.dumps(config, indent=2, default=str))
 
     def close(self) -> None:
+        self._mngr.wait_until_finished()
         self._mngr.close()

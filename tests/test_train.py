@@ -191,6 +191,43 @@ def test_checkpoint_retains_latest_alongside_best(tmp_path):
     ckpt.close()
 
 
+def test_checkpoint_async_save_equivalent(tmp_path):
+    """async_save=True: saves overlap compute but every read-side entry point
+    barriers first, so the state restored is identical to the sync path —
+    including best/latest selection with saves still in flight."""
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=4)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+
+    ckpt = CheckpointManager(
+        tmp_path / "ckpt", monitor="val_loss", mode="min", async_save=True
+    )
+    states = []
+    for i, vl in enumerate([0.5, 0.1, 0.9], start=1):
+        state, _ = step(state, jnp.asarray(hr), None)
+        states.append(state)
+        ckpt.save(i, state, metrics={"val_loss": vl})
+        # mutate the live reference after an in-flight save: the async path
+        # must have snapshotted, not aliased
+        state, _ = step(state, jnp.asarray(hr), None)
+
+    fresh = create_train_state(model, jax.random.key(42), hr[:2], make_optimizer(1e-3))
+    assert ckpt.latest_step() == 3  # barriers, then sees all saves
+    best = ckpt.restore_best(fresh)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(best.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(states[1].params)[0]),
+    )
+    latest = ckpt.restore_latest(fresh)
+    np.testing.assert_allclose(
+        np.asarray(jax.tree_util.tree_leaves(latest.params)[0]),
+        np.asarray(jax.tree_util.tree_leaves(states[2].params)[0]),
+    )
+    ckpt.close()
+
+
 def test_cosine_schedule_matches_keras_semantics():
     sched = cosine_decay_schedule(1e-3, decay_steps=100, alpha=0.0)
     assert float(sched(0)) == pytest.approx(1e-3)
