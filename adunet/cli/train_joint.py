@@ -48,6 +48,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--limit_train", type=int, default=None)
     parser.add_argument("--limit_val", type=int, default=None)
     parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap per-epoch checkpoint writes with compute (Orbax async).")
     parser.add_argument("--remat", action="store_true")
     parser.add_argument("--model_dir", type=Path, default=Path("runs/models"))
     parser.add_argument("--log_dir", type=Path, default=Path("runs/logs"))
@@ -147,7 +149,9 @@ def train(args: argparse.Namespace) -> dict:
     run_dir.mkdir(parents=True, exist_ok=True)
     ckpt_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_best"
     monitor = "val_loss" if val_ds is not None else "loss"
-    ckpt = CheckpointManager(ckpt_dir, monitor=monitor, mode="min")
+    ckpt = CheckpointManager(
+        ckpt_dir, monitor=monitor, mode="min", async_save=args.async_checkpoint
+    )
 
     config_payload = {
         **{k: str(v) if isinstance(v, Path) else v for k, v in vars(args).items()},

@@ -47,6 +47,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--limit_val", type=int, default=None)
     parser.add_argument("--augment", action="store_true")
     parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap per-epoch checkpoint writes with compute (Orbax async).")
     parser.add_argument("--n_devices", type=int, default=None)
     return parser.parse_args(argv)
 
@@ -171,7 +173,9 @@ def train(args: argparse.Namespace) -> dict:
     ckpt_dir = Path(args.model_dir).expanduser() / f"{args.run_name}_best"
     print(f"Checkpoints will be written to {ckpt_dir}")
 
-    ckpt = CheckpointManager(ckpt_dir, monitor=monitor, mode="max")
+    ckpt = CheckpointManager(
+        ckpt_dir, monitor=monitor, mode="max", async_save=args.async_checkpoint
+    )
 
     train_step = make_seg_train_step(
         model, loss_fn,

@@ -37,6 +37,8 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--vgg_weights", type=str, default=None,
                         help="Optional .npz with ImageNet VGG19 weights for the perceptual term.")
     parser.add_argument("--mixed_precision", action="store_true")
+    parser.add_argument("--async_checkpoint", action="store_true",
+                        help="Overlap per-epoch checkpoint writes with compute (Orbax async).")
     parser.add_argument("--model_dir", type=Path, default=Path("runs/models"))
     parser.add_argument("--log_dir", type=Path, default=Path("runs/logs"))
     parser.add_argument("--run_name", type=str, default=None)
@@ -139,7 +141,9 @@ def train(args: argparse.Namespace) -> dict:
     run_dir = Path(args.log_dir).expanduser() / run_name
     run_dir.mkdir(parents=True, exist_ok=True)
     ckpt_dir = Path(args.model_dir).expanduser() / f"{run_name}_best"
-    ckpt = CheckpointManager(ckpt_dir, monitor="val_loss", mode="min")
+    ckpt = CheckpointManager(
+        ckpt_dir, monitor="val_loss", mode="min", async_save=args.async_checkpoint
+    )
 
     steps_per_epoch = train_ds.steps_per_epoch
     from adunet.parallel.distributed import is_main_process

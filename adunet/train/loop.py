@@ -347,8 +347,7 @@ def fit(
                 ips = images_seen / duration
                 print(
                     f"Epoch {epoch + 1}/{epochs} - {duration:.1f}s - "
-                    f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts)
-                    + f" [tail val {tail_t['val']:.1f}s]",
+                    f"{log.ms_per_step:.0f}ms/step - {ips:.1f} img/s - " + " - ".join(parts),
                     flush=True,
                 )
 
@@ -419,9 +418,13 @@ def fit(
                                 flush=True,
                             )
                         break
-            if verbose and (tail_t["ckpt"] >= 0.5 or tail_t["best"] >= 0.5):
+            # per-phase tail timings on their own line (NOT the metrics line:
+            # multi-host lockstep tooling diffs that line across processes,
+            # and wall times legitimately differ per process)
+            if verbose and max(tail_t.values()) >= 0.5:
                 print(
-                    f"  [epoch tail: ckpt {tail_t['ckpt']:.1f}s"
+                    f"  [epoch tail: val {tail_t['val']:.1f}s"
+                    f" ckpt {tail_t['ckpt']:.1f}s"
                     f" best-pull {tail_t['best']:.1f}s]",
                     flush=True,
                 )
