@@ -9,12 +9,14 @@ BASE=/tmp/r3flag     # reuse the flagship corpus
 
 run () {  # $1 = run name, $2 = extra flags
   rm -rf /tmp/r3async_$1
-  /usr/bin/time -f "TOTAL_WALL_$1 %e s" python -m adunet.cli.train_sr \
+  T0=$(date +%s)
+  python -m adunet.cli.train_sr \
     --scale 0.5 --depth_override 3 --batch_size 32 --epochs 12 \
     --patches_per_image 16 --device_cache --patience 99 --mixed_precision \
     --high_res_dir $BASE/train_hr --model_dir /tmp/r3async_$1/models \
     --log_dir /tmp/r3async_$1/logs --run_name bench_$1 --seed 77 $2 2>&1 \
-    | grep -E "Epoch 12|epoch tail|TOTAL_WALL" || true
+    | grep -E "Epoch (1|12)/|epoch tail" | tail -6 || true
+  echo "TOTAL_WALL_$1 $(( $(date +%s) - T0 )) s"
 }
 
 echo "=== sync (default) ==="
