@@ -96,6 +96,8 @@ def restore_image(image: np.ndarray, forward, patch: int, overlap: int,
     """Tile -> predict -> stitch with linear overlap blending."""
     import jax.numpy as jnp
 
+    from adunet.utils.misc import pad_leading_to
+
     h, w = image.shape[:2]
     pad_h, pad_w = max(0, patch - h), max(0, patch - w)
     if pad_h or pad_w:
@@ -111,10 +113,7 @@ def restore_image(image: np.ndarray, forward, patch: int, overlap: int,
     for i in range(0, len(coords), batch_size):
         chunk = coords[i : i + batch_size]
         tiles = np.stack([image[y : y + patch, x : x + patch] for y, x in chunk])
-        if len(chunk) < batch_size:  # pad to the compiled shape
-            tiles = np.concatenate(
-                [tiles, np.repeat(tiles[-1:], batch_size - len(chunk), axis=0)]
-            )
+        tiles = pad_leading_to(tiles, batch_size)  # pad to the compiled shape
         preds = np.asarray(forward(jnp.asarray(tiles)))[: len(chunk)]
         for (y, x), pred in zip(chunk, preds):
             out[y : y + patch, x : x + patch] += pred * weights[..., None]

@@ -62,9 +62,21 @@ class _Batcher:
         self.window_s = float(window_ms) / 1000.0
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self.stats = {"requests": 0, "images": 0, "device_calls": 0, "batched_rows": 0}
+        self._stats_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = threading.Event()
         self._thread.start()
+
+    def bump(self, **deltas: int) -> None:
+        # += on a dict entry is a read-modify-write, not atomic under the
+        # GIL; handler threads and the batcher thread both count
+        with self._stats_lock:
+            for k, d in deltas.items():
+                self.stats[k] += d
+
+    def snapshot_stats(self) -> Dict[str, int]:
+        with self._stats_lock:
+            return dict(self.stats)
 
     def submit(self, image: np.ndarray) -> Future:
         fut: Future = Future()
@@ -75,6 +87,15 @@ class _Batcher:
         self._stop.set()
         self._q.put(None)  # wake the worker
         self._thread.join(timeout=5)
+        # fail any requests still queued — a handler thread blocked on
+        # fut.result() with no worker left would hang forever
+        while True:
+            try:
+                item = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item[1].done():
+                item[1].set_exception(RuntimeError("server shutting down"))
 
     def _collect(self) -> List[Tuple[np.ndarray, Future]]:
         first = self._q.get()
@@ -107,11 +128,10 @@ class _Batcher:
                 batch = np.concatenate([batch, pad])
             try:
                 out = np.asarray(self._call(batch))
-                self.stats["device_calls"] += 1
-                self.stats["batched_rows"] += n
+                self.bump(device_calls=1, batched_rows=n)
                 for i, (_, fut) in enumerate(items):
                     fut.set_result(out[i])
-            except Exception as exc:  # pragma: no cover - device failure path
+            except Exception as exc:  # device failure: surface to every caller
                 for _, fut in items:
                     if not fut.done():
                         fut.set_exception(exc)
@@ -128,7 +148,7 @@ def _decode_request(body: bytes, patch: int) -> np.ndarray:
         arr = arr.astype(np.float32)
     if arr.ndim == 3:
         arr = arr[None]
-    if arr.ndim != 4 or arr.shape[1:] != (patch, patch, 3):
+    if arr.ndim != 4 or arr.shape[1:] != (patch, patch, 3) or arr.shape[0] == 0:
         raise ValueError(
             f"expected ({patch}, {patch}, 3) image(s); got array of shape {tuple(arr.shape)}."
         )
@@ -160,7 +180,7 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
             if self.path == "/v1/health":
                 self._reply_json(200, {"status": "ok"})
             elif self.path == "/v1/metadata":
-                self._reply_json(200, {"manifest": manifest, "serving": dict(batcher.stats)})
+                self._reply_json(200, {"manifest": manifest, "serving": batcher.snapshot_stats()})
             else:
                 self._reply_json(404, {"error": f"unknown path {self.path}"})
 
@@ -175,10 +195,14 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
             except ValueError as exc:
                 self._reply_json(400, {"error": str(exc)})
                 return
-            batcher.stats["requests"] += 1
-            batcher.stats["images"] += images.shape[0]
+            batcher.bump(requests=1, images=images.shape[0])
             futures = [batcher.submit(img) for img in images]
-            out = np.stack([f.result() for f in futures])
+            try:
+                out = np.stack([f.result(timeout=120) for f in futures])
+            except Exception as exc:  # device failure / shutdown: a real
+                # HTTP 500 beats a dropped connection
+                self._reply_json(500, {"error": f"inference failed: {exc}"})
+                return
             buf = io.BytesIO()
             np.save(buf, out)
             self._reply(200, buf.getvalue(), "application/octet-stream")

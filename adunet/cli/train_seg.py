@@ -179,9 +179,11 @@ def train(cfg) -> dict:
 
     pre_val_hook = None
     if cfg.precise_bn > 0:
-        import itertools
-
-        from adunet.train.seg import make_bn_refresh_step, precise_batch_stats
+        from adunet.train.seg import (
+            make_bn_refresh_step,
+            precise_batch_stats,
+            snapshot_refresh_batches,
+        )
 
         refresh = make_bn_refresh_step(model)
         # The refresh inputs are un-augmented training images — identical
@@ -193,10 +195,11 @@ def train(cfg) -> dict:
         # the train step's cached compilation budget. BN statistics average
         # over batch x H x W positions, so even a few batches estimate them
         # tightly — keep --precise_bn small where dispatch latency matters.)
+        # snapshot_refresh_batches decodes straight from the pair list so the
+        # training shuffle-epoch counter is untouched: batch order is
+        # IDENTICAL with and without --precise_bn.
         put = (lambda x: replicate(x, mesh)) if mesh is not None else jnp.asarray
-        refresh_batches = [
-            put(b[0]) for b in itertools.islice(iter(train_ds), cfg.precise_bn)
-        ]
+        refresh_batches = snapshot_refresh_batches(train_ds, cfg.precise_bn, put)
 
         def pre_val_hook(s_):
             return precise_batch_stats(s_, refresh_batches, refresh)

@@ -97,11 +97,7 @@ def evaluate_sr(
 
     import jax as _jax
 
-    def _pad_to(arr: np.ndarray, n: int) -> np.ndarray:
-        if arr.shape[0] >= n:
-            return arr
-        fill = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
-        return np.concatenate([arr, fill], axis=0)
+    from adunet.utils.misc import pad_leading_to as _pad_to
 
     offset = 0
     for batch in dataset:

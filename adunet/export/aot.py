@@ -307,10 +307,15 @@ def load_artifact(path: str | Path) -> Tuple[Callable, Dict[str, Any]]:
                       for i in range(manifest["weights_leaves"])]
         return (lambda x: exported.call(x, leaves)), manifest
     if len(exported.in_avals) > 1:
+        hint = (
+            f"pass the export directory (with {MANIFEST_FILE} and the weights npz) "
+            f"instead of the bare program file."
+            if not path.is_dir()
+            else f"the directory is missing {MANIFEST_FILE} (or its 'weights_file' "
+            f"entry) — restore it from the original export."
+        )
         raise ValueError(
             f"artifact at {path} expects {len(exported.in_avals)} inputs but no "
-            f"manifest with a weights_file was found next to it — pass the export "
-            f"directory (with {MANIFEST_FILE} and the weights npz) instead of the "
-            f"bare program file."
+            f"manifest with a weights_file was found next to it — {hint}"
         )
     return exported.call, manifest

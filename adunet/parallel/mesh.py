@@ -107,15 +107,12 @@ def pad_and_shard_ragged(batch, mesh: Mesh, axis: str = "data"):
     n_valid = leaves[0].shape[0]
     padded = -(-n_valid // n_shards) * n_shards
 
-    def pad(x):
-        x = np.asarray(x)
-        if x.shape[0] == padded:
-            return x
-        fill = np.repeat(x[-1:], padded - x.shape[0], axis=0)
-        return np.concatenate([x, fill], axis=0)
+    from adunet.utils.misc import pad_leading_to
 
     sharding = batch_sharding(mesh, axis)
-    out = jax.tree_util.tree_map(lambda x: jax.device_put(pad(x), sharding), batch)
+    out = jax.tree_util.tree_map(
+        lambda x: jax.device_put(pad_leading_to(x, padded), sharding), batch
+    )
     mask = np.zeros((padded,), np.float32)
     mask[:n_valid] = 1.0
     mask = jax.device_put(mask, NamedSharding(mesh, P(axis)))

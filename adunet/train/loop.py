@@ -179,7 +179,13 @@ def fit(
         @jax.jit
         def masked_val(state_, batch_, mask_):
             out = val_step(state_, batch_)
-            return {k: jnp.sum(jnp.asarray(v) * mask_) for k, v in out.items()}
+            # select, don't multiply: a legitimate +inf per-sample metric
+            # (identical shaved patches -> inf PSNR) in a PADDED row would
+            # turn inf * 0.0 into NaN and poison the epoch sum
+            return {
+                k: jnp.sum(jnp.where(mask_ > 0, jnp.asarray(v), 0.0))
+                for k, v in out.items()
+            }
 
     def put(batch):
         if mesh is not None:

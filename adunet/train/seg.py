@@ -24,6 +24,7 @@ __all__ = [
     "make_seg_eval_step",
     "make_bn_refresh_step",
     "precise_batch_stats",
+    "snapshot_refresh_batches",
     "make_precise_bn_program",
 ]
 
@@ -136,38 +137,45 @@ def make_bn_refresh_step(model, momentum: float = 0.99):
     this batch's (mean, var + mean^2) contribution added. The per-batch
     stats are recovered by inverting the EMA update new = m*old + (1-m)*b.
     """
-    import jax.numpy as jnp
-
-    def _contrib(est):
-        # flax BN stats nest arrays under exactly {'mean','var'} keys; the
-        # var slot accumulates the second moment var_b + mean_b^2
-        def rec(node):
-            out = {}
-            for k, v in node.items():
-                if hasattr(v, "items"):
-                    out[k] = rec(v)
-                elif k == "var":
-                    out[k] = v + jnp.square(node["mean"])
-                else:
-                    out[k] = v
-            return out
-
-        return rec(est)
-
     @jax.jit
     def step(state: TrainState, images, acc):
-        variables = {"params": state.params, "batch_stats": state.batch_stats}
-        _, new_vars = state.apply_fn(
-            variables, images, train=True, mutable=["batch_stats"]
-        )
-        est = jax.tree_util.tree_map(
-            lambda new, old: (new - momentum * old) / (1.0 - momentum),
-            new_vars["batch_stats"],
-            state.batch_stats,
-        )
-        return jax.tree_util.tree_map(lambda a, c: a + c, acc, _contrib(est))
+        contrib = _bn_batch_second_moments(state, images, momentum)
+        return jax.tree_util.tree_map(lambda a, c: a + c, acc, contrib)
 
     return step
+
+
+def _walk_bn_stats(node, fn_mean, fn_var):
+    """Map over a flax batch_stats tree: arrays nest under exactly
+    {'mean','var'} leaves; ``fn_var`` gets its sibling mean for second-moment
+    math. The ONE tree walker behind every precise-BN transform here."""
+    out = {}
+    for k, v in node.items():
+        if hasattr(v, "items"):
+            out[k] = _walk_bn_stats(v, fn_mean, fn_var)
+        elif k == "var":
+            out[k] = fn_var(v, node["mean"])
+        else:
+            out[k] = fn_mean(v)
+    return out
+
+
+def _bn_batch_second_moments(state: TrainState, images, momentum: float):
+    """One train-mode forward -> this batch's (mean_b, var_b + mean_b^2).
+
+    Per-batch stats are recovered by inverting the BN EMA update
+    new = m*old + (1-m)*b; the var slot then carries the second moment so
+    contributions sum across batches."""
+    import jax.numpy as jnp
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    _, new_vars = state.apply_fn(variables, images, train=True, mutable=["batch_stats"])
+    est = jax.tree_util.tree_map(
+        lambda new, old: (new - momentum * old) / (1.0 - momentum),
+        new_vars["batch_stats"],
+        state.batch_stats,
+    )
+    return _walk_bn_stats(est, lambda m: m, lambda v, m: v + jnp.square(m))
 
 
 @partial(jax.jit, static_argnames=("n",))
@@ -176,24 +184,15 @@ def _finalize_precise_stats(acc, n: int):
 
     Jitted as ONE program: the tree walk issues ~2 ops per BN layer, and
     running those eagerly costs a dispatch each — dozens of RPCs per epoch
-    on a remote-device link."""
+    on a remote-device link. The variance clamp absorbs the tiny negative
+    excursions float32 EMA inversion (amplified 1/(1-m)x) can produce."""
     import jax.numpy as jnp
 
-    def rec(node):
-        out = {}
-        for k, v in node.items():
-            if hasattr(v, "items"):
-                out[k] = rec(v)
-            elif k == "var":
-                mu = node["mean"] / n
-                # float32 EMA inversion amplifies rounding 1/(1-m)x; clamp
-                # the tiny negative excursions that can produce
-                out[k] = jnp.maximum(v / n - jnp.square(mu), 1e-12)
-            else:
-                out[k] = v / n
-        return out
-
-    return rec(acc)
+    return _walk_bn_stats(
+        acc,
+        lambda m: m / n,
+        lambda v, m: jnp.maximum(v / n - jnp.square(m / n), 1e-12),
+    )
 
 
 def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None):
@@ -217,6 +216,30 @@ def precise_batch_stats(state: TrainState, image_batches, refresh_step, put=None
     return state.replace(batch_stats=_finalize_precise_stats(acc, n))
 
 
+def snapshot_refresh_batches(dataset, n_batches: int, put=None):
+    """Decode ``n_batches`` image batches for precise-BN WITHOUT consuming the
+    dataset's shuffle-epoch counter.
+
+    Iterating the training dataset advances its per-epoch shuffle seed, so a
+    naive ``islice(iter(train_ds), n)`` at setup time would shift every
+    training epoch's batch order relative to a run without ``--precise_bn`` —
+    silently breaking same-seed reproducibility across the flag (and the
+    shared-trajectory claim of the round-3 EMA-vs-precise-BN diagnosis).
+    Refresh batches only need to be a representative un-augmented sample:
+    take pairs in deterministic dataset order, wrapping if the corpus is
+    smaller than ``n_batches`` full batches.
+    """
+    import numpy as np
+
+    pairs, bs = dataset.pairs, dataset.batch_size
+    batches = []
+    for b in range(n_batches):
+        sel = [pairs[(b * bs + j) % len(pairs)] for j in range(bs)]
+        images = np.stack([dataset._load_pair(*p)[0] for p in sel])
+        batches.append(put(images) if put is not None else images)
+    return batches
+
+
 def make_precise_bn_program(model, momentum: float = 0.99):
     """Whole precise-BN re-estimation as ONE jitted program.
 
@@ -228,40 +251,14 @@ def make_precise_bn_program(model, momentum: float = 0.99):
     """
     import jax.numpy as jnp
 
-    def _walk(node, fn_mean, fn_var):
-        out = {}
-        for k, v in node.items():
-            if hasattr(v, "items"):
-                out[k] = _walk(v, fn_mean, fn_var)
-            elif k == "var":
-                out[k] = fn_var(v, node["mean"])
-            else:
-                out[k] = fn_mean(v)
-        return out
-
     @jax.jit
     def run(state: TrainState, stack):
         def body(acc, images):
-            variables = {"params": state.params, "batch_stats": state.batch_stats}
-            _, new_vars = state.apply_fn(
-                variables, images, train=True, mutable=["batch_stats"]
-            )
-            est = jax.tree_util.tree_map(
-                lambda new, old: (new - momentum * old) / (1.0 - momentum),
-                new_vars["batch_stats"],
-                state.batch_stats,
-            )
-            # var slots accumulate the second moment var_b + mean_b^2
-            contrib = _walk(est, lambda m: m, lambda v, m: v + jnp.square(m))
+            contrib = _bn_batch_second_moments(state, images, momentum)
             return jax.tree_util.tree_map(lambda a, c: a + c, acc, contrib), None
 
         acc0 = jax.tree_util.tree_map(jnp.zeros_like, state.batch_stats)
         acc, _ = jax.lax.scan(body, acc0, stack)
-        n = stack.shape[0]
-        return _walk(
-            acc,
-            lambda m: m / n,
-            lambda v, m: jnp.maximum(v / n - jnp.square(m / n), 1e-12),
-        )
+        return _finalize_precise_stats(acc, stack.shape[0])
 
     return run

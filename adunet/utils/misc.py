@@ -13,7 +13,21 @@ from typing import Iterable, List, Tuple
 
 import numpy as np
 
-__all__ = ["sorted_alphanumeric", "split_indices"]
+__all__ = ["sorted_alphanumeric", "split_indices", "pad_leading_to"]
+
+
+def pad_leading_to(arr: np.ndarray, n: int) -> np.ndarray:
+    """Pad the leading dim to ``n`` rows by repeating the last row.
+
+    The one shape-stable ragged-tail padding used by the sharded evaluator,
+    ``pad_and_shard_ragged`` and the tiled restorer — consumers mask or
+    slice the duplicate rows away, so the fill values never reach results.
+    """
+    arr = np.asarray(arr)
+    if arr.shape[0] >= n:
+        return arr
+    fill = np.repeat(arr[-1:], n - arr.shape[0], axis=0)
+    return np.concatenate([arr, fill], axis=0)
 
 
 def sorted_alphanumeric(items: Iterable[str]) -> List[str]:

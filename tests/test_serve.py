@@ -98,6 +98,16 @@ def test_predict_uint8_normalised_like_training_feed(served):
     )
 
 
+def test_predict_rejects_empty_stack(served):
+    base, _, _ = served
+    buf = io.BytesIO()
+    np.save(buf, np.zeros((0, 32, 32, 3), np.float32))
+    req = urllib.request.Request(base + "/v1/predict", data=buf.getvalue())
+    with pytest.raises(urllib.error.HTTPError) as err:
+        urllib.request.urlopen(req)
+    assert err.value.code == 400  # a crash here would drop the connection
+
+
 def test_predict_rejects_wrong_shape(served):
     base, _, _ = served
     buf = io.BytesIO()

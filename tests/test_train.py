@@ -444,6 +444,81 @@ def test_fit_sharded_val_end_to_end():
             np.testing.assert_allclose(a[k], b[k], rtol=5e-5, err_msg=k)
 
 
+def test_sharded_val_inf_metric_survives_padding():
+    """A legitimate +inf per-sample val metric (inf PSNR on identical shaved
+    patches is preserved throughout this codebase) must NOT become NaN when
+    its row is duplicated as padding in the sharded path: inf * 0.0 = NaN,
+    so the masked reduction has to select, not multiply."""
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = _synthetic_hr(n=16)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    mesh = make_mesh(8)
+    state = replicate(
+        create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3)),
+        mesh,
+    )
+    tstep = make_sr_train_step(model, loss_fn, donate=False)
+
+    def vstep(state_, b):
+        # per-sample metric that is inf exactly on all-zero rows
+        return {"m": 1.0 / jnp.mean(b, axis=(1, 2, 3))}
+
+    # one ragged val batch (5 rows -> padded to 8) whose LAST row is zeros:
+    # pad_and_shard_ragged duplicates that row into the masked padding
+    val_batch = np.asarray(hr[:5]).copy()
+    val_batch[-1] = 0.0
+
+    res = fit(
+        state,
+        _loop(hr, 8),
+        tstep,
+        steps_per_epoch=1,
+        epochs=1,
+        val_data=[val_batch],
+        val_step=vstep,
+        mesh=mesh,
+        verbose=0,
+        val_per_sample=True,
+    )
+    got = res.history[0].val_metrics["m"]
+    assert np.isinf(got) and got > 0, f"expected +inf val metric, got {got}"
+
+
+def test_snapshot_refresh_batches_leaves_epoch_order_alone(tmp_path):
+    """Building precise-BN refresh batches must not consume a shuffle epoch:
+    the first training epoch's batch order is identical with and without the
+    snapshot (same-seed reproducibility across --precise_bn)."""
+    from adunet.data.seg_pipeline import SegPairDataset
+    from adunet.train.seg import snapshot_refresh_batches
+
+    pairs = []
+    for i in range(10):
+        img, msk = tmp_path / f"i{i}.npy", tmp_path / f"i{i}_mask.npy"
+        np.save(img, np.full((8, 8, 3), i / 10, np.float32))
+        np.save(msk, np.zeros((8, 8), np.float32))
+        pairs.append((str(img), str(msk)))
+
+    def first_epoch_signature(ds):
+        batches = list(ds._batches())
+        return [tuple(np.round(b[0][:, 0, 0, 0], 3)) for b in batches]
+
+    kw = dict(batch_size=5, image_size=8, augment=False, shuffle=True, seed=7)
+    baseline = first_epoch_signature(SegPairDataset(pairs, **kw))
+
+    ds = SegPairDataset(pairs, **kw)
+    refresh = snapshot_refresh_batches(ds, n_batches=3)
+    assert len(refresh) == 3 and refresh[0].shape == (5, 8, 8, 3)
+    # deterministic pair order, wrapping past the corpus end
+    np.testing.assert_allclose(refresh[0][:, 0, 0, 0], np.arange(5) / 10, atol=1e-6)
+    np.testing.assert_allclose(
+        refresh[2][:, 0, 0, 0], np.array([0, 1, 2, 3, 4]) / 10, atol=1e-6
+    )
+    assert ds._epoch == 0  # no shuffle epoch consumed
+    assert first_epoch_signature(ds) == baseline
+
+
 def test_precise_bn_exactness_and_rescue():
     """VERDICT r2 #2 mitigation. (a) Exactness: refreshing stats from a
     single batch makes eval-mode forward equal train-mode forward on that
