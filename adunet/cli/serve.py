@@ -50,6 +50,9 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--batch-window-ms", type=float, default=5.0,
                         help="How long the batcher waits for more requests to fill "
                              "the artifact's static batch before dispatching.")
+    parser.add_argument("--max-body-mb", type=float, default=64.0,
+                        help="Reject request bodies larger than this (HTTP 413). "
+                             "Bounds per-request memory and batcher occupancy.")
     return parser.parse_args(argv)
 
 
@@ -63,6 +66,7 @@ class _Batcher:
         self._q: "queue.Queue[Tuple[np.ndarray, Future]]" = queue.Queue()
         self.stats = {"requests": 0, "images": 0, "device_calls": 0, "batched_rows": 0}
         self._stats_lock = threading.Lock()
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._stop = threading.Event()
         self._thread.start()
@@ -79,12 +83,20 @@ class _Batcher:
             return dict(self.stats)
 
     def submit(self, image: np.ndarray) -> Future:
-        fut: Future = Future()
-        self._q.put((image, fut))
-        return fut
+        # the lock makes (stop-check, enqueue) atomic against close()'s
+        # stop-set: anything enqueued is enqueued BEFORE stop, so close()'s
+        # drain is guaranteed to see it — no future can be stranded in a
+        # queue that no worker and no drain will ever visit
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("server shutting down")
+            fut: Future = Future()
+            self._q.put((image, fut))
+            return fut
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._q.put(None)  # wake the worker
         self._thread.join(timeout=5)
         # fail any requests still queued — a handler thread blocked on
@@ -156,12 +168,22 @@ def _decode_request(body: bytes, patch: int) -> np.ndarray:
 
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
-                batch_window_ms: float = 5.0) -> ThreadingHTTPServer:
+                batch_window_ms: float = 5.0,
+                max_body_bytes: int = 64 * 1024 * 1024) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; tests drive serve_forever
     from a thread, the CLI calls it directly."""
     from adunet.export import load_artifact
 
     call, manifest = load_artifact(artifact_dir)
+    if "input_shape" not in manifest:
+        # load_artifact tolerates a bare model.stablehlo with no manifest
+        # (aot.py), but serving needs the static batch/patch dims
+        raise ValueError(
+            f"artifact at {artifact_dir!r} has no manifest.json with an "
+            "'input_shape' entry — the server needs the compiled batch and "
+            "patch dimensions. Re-export with adunet.export or restore the "
+            "manifest next to model.stablehlo."
+        )
     batch, patch = int(manifest["input_shape"][0]), int(manifest["input_shape"][1])
     batcher = _Batcher(call, batch, batch_window_ms)
 
@@ -188,7 +210,20 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
             if self.path != "/v1/predict":
                 self._reply_json(404, {"error": f"unknown path {self.path}"})
                 return
-            length = int(self.headers.get("Content-Length", 0))
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+            except (TypeError, ValueError):
+                self._reply_json(400, {"error": "invalid Content-Length header"})
+                return
+            if length <= 0:
+                self._reply_json(400, {"error": "empty request body"})
+                return
+            if length > max_body_bytes:
+                self._reply_json(413, {
+                    "error": f"request body {length} bytes exceeds the "
+                             f"{max_body_bytes}-byte limit (--max-body-mb)."
+                })
+                return
             body = self.rfile.read(length)
             try:
                 images = _decode_request(body, patch)
@@ -196,7 +231,11 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
                 self._reply_json(400, {"error": str(exc)})
                 return
             batcher.bump(requests=1, images=images.shape[0])
-            futures = [batcher.submit(img) for img in images]
+            try:
+                futures = [batcher.submit(img) for img in images]
+            except RuntimeError as exc:  # submit raced a shutdown
+                self._reply_json(503, {"error": str(exc)})
+                return
             try:
                 out = np.stack([f.result(timeout=120) for f in futures])
             except Exception as exc:  # device failure / shutdown: a real
@@ -221,7 +260,8 @@ def main(argv: Optional[List[str]] = None) -> None:
     from adunet.utils.runtime import setup_runtime
 
     setup_runtime()
-    server = make_server(args.artifact, args.host, args.port, args.batch_window_ms)
+    server = make_server(args.artifact, args.host, args.port, args.batch_window_ms,
+                         max_body_bytes=int(args.max_body_mb * 1024 * 1024))
     b, p = server.manifest["input_shape"][0], server.manifest["input_shape"][1]
     print(f"[serve] artifact batch {b} x {p}px — http://{args.host}:{server.server_address[1]}", flush=True)
     try:

@@ -57,17 +57,15 @@ def train(args: argparse.Namespace) -> dict:
     import jax
     import jax.numpy as jnp
 
-    import functools
-
     from adunet.data import discover_pairs
     from adunet.data.seg_pipeline import SegPairDataset
     from adunet.losses import binary_crossentropy, make_weighted_ce_loss
     from adunet.metrics import (
         binary_accuracy,
-        global_dice_coefficient,
-        mean_iou,
-        precision,
-        recall,
+        pooled_global_dice,
+        pooled_mean_iou,
+        pooled_precision,
+        pooled_recall,
     )
     from adunet.models import build_unet
     from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
@@ -79,6 +77,7 @@ def train(args: argparse.Namespace) -> dict:
         make_optimizer,
         make_seg_eval_step,
         make_seg_train_step,
+        val_finalizers_of,
     )
 
     # must run before process_shard touches jax.process_count(), which would
@@ -135,18 +134,22 @@ def train(args: argparse.Namespace) -> dict:
         else:
             weights = [1.0] * args.num_classes
         loss_fn = make_weighted_ce_loss(weights)
+        # pooled (PooledMetric) variants keep whole-set semantics under the
+        # sharded val path — a plain per-sample lift would silently turn the
+        # MONITORED metric into a mean of per-image values, changing best-
+        # checkpoint selection and early stopping
         extra = {
-            "mean_iou": functools.partial(mean_iou, num_classes=args.num_classes),
-            "dice_coefficient": global_dice_coefficient,
+            "mean_iou": pooled_mean_iou(args.num_classes),
+            "dice_coefficient": pooled_global_dice(),
         }
         monitor = "val_mean_iou"
     else:
         loss_fn = binary_crossentropy
         extra = {
-            "accuracy": binary_accuracy,
-            "precision": precision,
-            "recall": recall,
-            "dice_coefficient": global_dice_coefficient,
+            "accuracy": binary_accuracy,  # equal pixel counts: per-sample mean is exact
+            "precision": pooled_precision(),
+            "recall": pooled_recall(),
+            "dice_coefficient": pooled_global_dice(),
         }
         monitor = "val_dice_coefficient"
 
@@ -204,6 +207,7 @@ def train(args: argparse.Namespace) -> dict:
         mesh=mesh,
         log_dir=run_dir if _is_main else None,
         val_per_sample=True,
+        val_finalizers=val_finalizers_of(extra),
     )
     state = result.state
 

@@ -190,6 +190,7 @@ def build_isic_dataset(
     pairs = collect_isic_pairs(image_dir, mask_dir)
     if limit is not None and limit > 0:
         pairs = pairs[:limit]
+    global_pairs = pairs  # identical on every process (sorted discovery)
     if shard_across_processes:
         from adunet.parallel.distributed import process_shard
 
@@ -203,4 +204,7 @@ def build_isic_dataset(
         seed=seed,
         pad_tail=pad_tail,
     )
+    # consumers that must agree across processes (e.g. precise-BN refresh
+    # batches, which are mesh-replicated) select from the pre-shard list
+    ds.global_pairs = global_pairs
     return ds, len(pairs)

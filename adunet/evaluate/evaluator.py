@@ -82,7 +82,12 @@ def evaluate_sr(
 
         from adunet.parallel.mesh import batch_sharding
 
-        n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names if a == "data"]))
+        if "data" not in mesh.axis_names:
+            raise ValueError(
+                f"evaluate_sr expects a mesh with a 'data' axis to shard "
+                f"patches over; got axes {tuple(mesh.axis_names)}."
+            )
+        n_shards = int(mesh.shape["data"])
         sharding = batch_sharding(mesh)
         put = lambda a: _jax2.device_put(a, sharding)  # noqa: E731
     # compiled batch shape: the dataset's batch size rounded up to shardable

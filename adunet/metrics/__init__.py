@@ -9,6 +9,11 @@ from adunet.metrics.seg import (
     binary_accuracy,
     precision,
     recall,
+    PooledMetric,
+    pooled_global_dice,
+    pooled_precision,
+    pooled_recall,
+    pooled_mean_iou,
 )
 
 __all__ = [
@@ -23,4 +28,9 @@ __all__ = [
     "binary_accuracy",
     "precision",
     "recall",
+    "PooledMetric",
+    "pooled_global_dice",
+    "pooled_precision",
+    "pooled_recall",
+    "pooled_mean_iou",
 ]

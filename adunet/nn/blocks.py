@@ -22,7 +22,12 @@ from typing import Any
 import jax.numpy as jnp
 from flax import linen as nn
 
-__all__ = ["ConvBlock", "PallasConv3x3", "conv3x3", "conv1x1"]
+__all__ = ["ConvBlock", "PallasConv3x3", "conv3x3", "conv1x1", "BN_MOMENTUM"]
+
+# Keras BatchNormalization default. Single-sourced: precise-BN recovers
+# per-batch statistics by inverting the EMA update new = m*old + (1-m)*b
+# (adunet/train/seg.py), so the inversion and the layer MUST agree on m.
+BN_MOMENTUM = 0.99
 
 _glorot = nn.initializers.glorot_uniform()
 
@@ -137,7 +142,7 @@ class ConvBlock(nn.Module):
             elif self.norm == "batch":
                 x = nn.BatchNorm(
                     use_running_average=not train,
-                    momentum=0.99,
+                    momentum=BN_MOMENTUM,
                     epsilon=1e-3,
                     dtype=jnp.float32,
                     name=f"norm{i}",

@@ -16,12 +16,13 @@ from typing import Callable, Dict
 import jax
 
 from adunet.data.augment import augment_pair_batch, flip_pair_batch
-from adunet.metrics.seg import dice_coefficient, iou_score
+from adunet.metrics.seg import PooledMetric, dice_coefficient, iou_score
 from adunet.train.state import TrainState
 
 __all__ = [
     "make_seg_train_step",
     "make_seg_eval_step",
+    "val_finalizers_of",
     "make_bn_refresh_step",
     "precise_batch_stats",
     "snapshot_refresh_batches",
@@ -76,7 +77,7 @@ def make_seg_train_step(
             "iou": iou_score(masks, pred),
         }
         for name, fn in (extra_metrics or {}).items():
-            metrics[name] = fn(masks, pred)
+            metrics[name] = fn.batch_fn(masks, pred) if isinstance(fn, PooledMetric) else fn(masks, pred)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -91,12 +92,26 @@ def make_seg_eval_step(
     """Returns jitted (state, (images, masks)) -> batch metrics (no augment,
     BN running averages).
 
-    ``per_sample=True`` lifts every metric to a ``(B,)`` vector
+    ``per_sample=True`` lifts every plain metric to a ``(B,)`` vector
     (singleton-batch vmap) so fit() can shard ragged val batches over the
-    mesh and mask padding. Batch-aggregated extras (e.g. hard mIoU) become
-    sample-aggregated under this mode — the per-batch convention was already
-    an approximation across batches.
+    mesh and mask padding — exact for batch-mean-of-per-sample metrics
+    (Dice/IoU here). Metrics that POOL over the batch (whole-batch Dice,
+    precision/recall, hard mIoU) must be passed as
+    :class:`adunet.metrics.PooledMetric`: their per-sample component sums
+    are emitted under ``"{name}#{component}"`` keys and fit() applies the
+    matching ``val_finalizers[name]`` to the masked epoch sums, yielding the
+    exact whole-val-set pooled value. With ``per_sample=False`` pooled
+    metrics fall back to their plain batch value (the reference's Keras
+    per-batch-mean convention).
     """
+    fns: Dict[str, Callable] = {
+        "loss": loss_fn,
+        "dice": dice_coefficient,
+        "iou": iou_score,
+        **(extra_metrics or {}),
+    }
+    plain = {k: f for k, f in fns.items() if not isinstance(f, PooledMetric)}
+    pooled = {k: f for k, f in fns.items() if isinstance(f, PooledMetric)}
 
     @partial(jax.jit)
     def step(state: TrainState, batch) -> Dict[str, jax.Array]:
@@ -105,23 +120,36 @@ def make_seg_eval_step(
         if state.batch_stats is not None:
             variables["batch_stats"] = state.batch_stats
         pred = state.apply_fn(variables, images, train=False)
-        fns = {
-            "loss": loss_fn,
-            "dice": dice_coefficient,
-            "iou": iou_score,
-            **(extra_metrics or {}),
-        }
         if per_sample:
             from adunet.train.sr import lift_per_sample
 
-            return {name: lift_per_sample(fn)(masks, pred) for name, fn in fns.items()}
-        return {name: fn(masks, pred) for name, fn in fns.items()}
+            out = {name: lift_per_sample(fn)(masks, pred) for name, fn in plain.items()}
+            for name, pm in pooled.items():
+                comps = lift_per_sample(pm.stats)(masks, pred)  # {comp: (B, ...)}
+                out.update({f"{name}#{c}": v for c, v in comps.items()})
+            return out
+        out = {name: fn(masks, pred) for name, fn in plain.items()}
+        out.update({name: pm.batch_fn(masks, pred) for name, pm in pooled.items()})
+        return out
 
     return step
 
 
-def make_bn_refresh_step(model, momentum: float = 0.99):
+def val_finalizers_of(extra_metrics: Dict[str, Callable] | None) -> Dict[str, Callable]:
+    """Extract fit()'s ``val_finalizers`` mapping from an extra-metrics dict."""
+    return {
+        name: fn.finalize
+        for name, fn in (extra_metrics or {}).items()
+        if isinstance(fn, PooledMetric)
+    }
+
+
+def make_bn_refresh_step(model, momentum: float | None = None):
     """One jitted accumulation step for precise-BN re-estimation.
+
+    ``momentum`` defaults to the models' single-sourced BatchNorm momentum
+    (adunet.nn.blocks.BN_MOMENTUM) — the EMA inversion below amplifies any
+    mismatch by 1/(1-m), so it must track the layer, not a local constant.
 
     Diagnosis (round-3, VERDICT r2 #2): with BatchNorm momentum 0.99 the
     running statistics are an exponential average over the LAST ~100 train
@@ -137,6 +165,11 @@ def make_bn_refresh_step(model, momentum: float = 0.99):
     this batch's (mean, var + mean^2) contribution added. The per-batch
     stats are recovered by inverting the EMA update new = m*old + (1-m)*b.
     """
+    if momentum is None:
+        from adunet.nn.blocks import BN_MOMENTUM
+
+        momentum = BN_MOMENTUM
+
     @jax.jit
     def step(state: TrainState, images, acc):
         contrib = _bn_batch_second_moments(state, images, momentum)
@@ -228,10 +261,18 @@ def snapshot_refresh_batches(dataset, n_batches: int, put=None):
     Refresh batches only need to be a representative un-augmented sample:
     take pairs in deterministic dataset order, wrapping if the corpus is
     smaller than ``n_batches`` full batches.
+
+    Multi-host: selection draws from the dataset's GLOBAL pair list (set by
+    build_isic_dataset before process-sharding), not the process-local
+    shard. ``put`` is typically ``replicate(x, mesh)``, whose contract is
+    that every process passes the same full value — process-local pairs
+    differ per host and would silently produce divergent BN statistics (and
+    so divergent checkpoints) across hosts.
     """
     import numpy as np
 
-    pairs, bs = dataset.pairs, dataset.batch_size
+    pairs = getattr(dataset, "global_pairs", dataset.pairs)
+    bs = dataset.batch_size
     batches = []
     for b in range(n_batches):
         sel = [pairs[(b * bs + j) % len(pairs)] for j in range(bs)]
@@ -240,7 +281,7 @@ def snapshot_refresh_batches(dataset, n_batches: int, put=None):
     return batches
 
 
-def make_precise_bn_program(model, momentum: float = 0.99):
+def make_precise_bn_program(model, momentum: float | None = None):
     """Whole precise-BN re-estimation as ONE jitted program.
 
     ``run(state, stack)`` with ``stack`` of shape (N, B, H, W, C) scans the N
@@ -250,6 +291,11 @@ def make_precise_bn_program(model, momentum: float = 0.99):
     which on a high-latency transfer link costs ~1-2 s x N every epoch.
     """
     import jax.numpy as jnp
+
+    if momentum is None:
+        from adunet.nn.blocks import BN_MOMENTUM
+
+        momentum = BN_MOMENTUM
 
     @jax.jit
     def run(state: TrainState, stack):

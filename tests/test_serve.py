@@ -142,3 +142,66 @@ def test_concurrent_requests_share_batches(served):
     # dispatches, and the 200 ms window makes fewer overwhelmingly likely;
     # assert the hard upper bound only (timing-robust).
     assert server.batcher.stats["device_calls"] - calls_before <= 8
+
+
+def test_predict_rejects_oversized_body(served):
+    """Bodies above --max-body-mb must get a 413, not a multi-GB decode.
+    The cap is enforced from the Content-Length header BEFORE reading the
+    body, so the test only has to claim a huge body, not ship one."""
+    import http.client
+
+    base, server, _ = served
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1], timeout=10)
+    try:
+        conn.putrequest("POST", "/v1/predict")
+        conn.putheader("Content-Length", str(65 * 1024 * 1024))
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 413
+        assert "limit" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_predict_rejects_malformed_content_length(served):
+    """A non-integer Content-Length header must produce a clean 400, not a
+    dropped connection from an uncaught ValueError."""
+    import http.client
+
+    base, server, _ = served
+    conn = http.client.HTTPConnection("127.0.0.1", server.server_address[1], timeout=10)
+    try:
+        conn.putrequest("POST", "/v1/predict")
+        conn.putheader("Content-Length", "abc")
+        conn.endheaders()
+        resp = conn.getresponse()
+        assert resp.status == 400
+        assert "Content-Length" in json.loads(resp.read())["error"]
+    finally:
+        conn.close()
+
+
+def test_submit_after_close_fails_fast():
+    """_Batcher.submit racing close() must raise immediately instead of
+    stranding a future no worker or drain will ever resolve."""
+    from adunet.cli.serve import _Batcher
+
+    b = _Batcher(lambda x: x, batch_size=2, window_ms=1.0)
+    b.close()
+    with pytest.raises(RuntimeError):
+        b.submit(np.zeros((2, 2, 3), np.float32))
+
+
+def test_make_server_requires_manifest_input_shape(tmp_path):
+    """A bare model.stablehlo directory (no manifest) must fail at startup
+    with a message naming the problem, not a KeyError."""
+    from adunet.cli.serve import make_server
+
+    art = tmp_path / "bare"
+    art.mkdir()
+    (art / "model.stablehlo").write_bytes(b"not a real program")
+    with pytest.raises(Exception) as exc_info:
+        make_server(str(art), port=0)
+    # either load_artifact rejects the bogus program or make_server rejects
+    # the missing manifest — both must be explicit, never a KeyError
+    assert not isinstance(exc_info.value, KeyError)

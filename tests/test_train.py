@@ -617,3 +617,187 @@ def test_precise_bn_program_matches_per_batch_variant():
     assert len(ref_leaves) == len(fused_leaves)
     for a, b in zip(ref_leaves, fused_leaves):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+
+
+def _pooled_reference(all_masks, all_preds, num_classes=1):
+    """Direct whole-set pooled values (the semantics PooledMetric must keep)."""
+    from adunet.metrics import (
+        global_dice_coefficient,
+        mean_iou,
+        precision,
+        recall,
+    )
+
+    t, p = jnp.asarray(all_masks), jnp.asarray(all_preds)
+    ref = {"dice_coefficient": float(global_dice_coefficient(t, p))}
+    if num_classes > 1:
+        ref["mean_iou"] = float(mean_iou(t, p, num_classes=num_classes))
+    else:
+        ref["precision"] = float(precision(t, p))
+        ref["recall"] = float(recall(t, p))
+    return ref
+
+
+def test_pooled_metrics_sharded_val_exact():
+    """Pooled metrics must survive the sharded-val lift EXACTLY: masked
+    per-sample component sums + finalize == direct whole-set computation.
+    (A plain per-sample lift silently turns the monitored whole-batch dice /
+    precision / recall into means of per-image values — round-3 review.)"""
+    from adunet.losses import binary_crossentropy
+    from adunet.metrics import pooled_global_dice, pooled_precision, pooled_recall
+    from adunet.models import build_unet
+    from adunet.parallel.mesh import pad_and_shard_ragged
+    from adunet.train import val_finalizers_of
+
+    model = build_unet(16, num_classes=1, base_channels=4, depth=1)
+    rng = np.random.default_rng(3)
+    images = rng.random((13, 16, 16, 3), dtype=np.float32)  # ragged vs 8
+    masks = (rng.random((13, 16, 16, 1)) > 0.6).astype(np.float32)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.asarray(images[:2]), make_optimizer(1e-3)
+    )
+
+    extra = {
+        "dice_coefficient": pooled_global_dice(),
+        "precision": pooled_precision(),
+        "recall": pooled_recall(),
+    }
+    estep = make_seg_eval_step(model, binary_crossentropy, extra_metrics=extra,
+                               per_sample=True)
+    finalizers = val_finalizers_of(extra)
+    assert set(finalizers) == set(extra)
+
+    # direct whole-set reference over the full val set
+    variables = {"params": state.params}
+    preds = state.apply_fn(variables, jnp.asarray(images), train=False)
+    ref = _pooled_reference(masks, preds)
+
+    mesh = make_mesh(8)
+    state_r = replicate(state, mesh)
+
+    @jax.jit
+    def masked(state_, batch_, mask_):
+        out = estep(state_, batch_)
+
+        def reduce(v):
+            m = mask_.reshape(mask_.shape + (1,) * (v.ndim - 1))
+            return jnp.sum(jnp.where(m > 0, v, 0.0), axis=0)
+
+        return {k: reduce(jnp.asarray(v)) for k, v in out.items()}
+
+    vacc = {}
+    for lo in (0, 8):  # ragged batches 8 + 5
+        b = (jnp.asarray(images[lo:lo + 8]), jnp.asarray(masks[lo:lo + 8]))
+        sb, smask, _n = pad_and_shard_ragged(b, mesh)
+        for k, v in masked(state_r, sb, smask).items():
+            vacc[k] = vacc.get(k, 0.0) + np.asarray(v)
+
+    got = {name: fin({k.split("#", 1)[1]: vacc[k] for k in vacc
+                      if k.startswith(name + "#")})
+           for name, fin in finalizers.items()}
+    for k, v in ref.items():
+        np.testing.assert_allclose(got[k], v, rtol=1e-5, err_msg=k)
+
+
+def test_pooled_metrics_fit_end_to_end_binary_and_multiclass():
+    """fit(val_per_sample=True, val_finalizers=...) must log pooled metrics
+    equal to the direct whole-set computation with the post-epoch state —
+    both on a mesh (sharded val) and without one (plain per-sample path)."""
+    from adunet.losses import binary_crossentropy, make_weighted_ce_loss
+    from adunet.metrics import (
+        pooled_global_dice,
+        pooled_mean_iou,
+        pooled_precision,
+        pooled_recall,
+    )
+    from adunet.models import build_unet
+    from adunet.train import val_finalizers_of
+
+    rng = np.random.default_rng(7)
+    images = rng.random((11, 16, 16, 3), dtype=np.float32)
+
+    for num_classes in (1, 3):
+        if num_classes == 1:
+            masks = (rng.random((11, 16, 16, 1)) > 0.5).astype(np.float32)
+            loss_fn = binary_crossentropy
+            extra = {"dice_coefficient": pooled_global_dice(),
+                     "precision": pooled_precision(),
+                     "recall": pooled_recall()}
+        else:
+            labels = rng.integers(0, num_classes, (11, 16, 16))
+            masks = np.eye(num_classes, dtype=np.float32)[labels]
+            loss_fn = make_weighted_ce_loss([1.0] * num_classes)
+            extra = {"mean_iou": pooled_mean_iou(num_classes),
+                     "dice_coefficient": pooled_global_dice()}
+
+        model = build_unet(16, num_classes=num_classes, base_channels=4, depth=1)
+        for mesh in (None, make_mesh(8)):
+            state = create_train_state(
+                model, jax.random.key(1), jnp.asarray(images[:2]), make_optimizer(1e-3)
+            )
+            if mesh is not None:
+                state = replicate(state, mesh)
+            tstep = make_seg_train_step(model, loss_fn, augment=False, donate=False)
+            estep = make_seg_eval_step(model, loss_fn, extra_metrics=extra,
+                                       per_sample=True)
+
+            def batches():
+                for lo in (0, 8):
+                    yield (jnp.asarray(images[lo:lo + 8]),
+                           jnp.asarray(masks[lo:lo + 8]))
+
+            def train_stream():
+                while True:
+                    yield (jnp.asarray(images[:8]), jnp.asarray(masks[:8]))
+
+            result = fit(
+                state, train_stream(), tstep, steps_per_epoch=1, epochs=1,
+                rng=jax.random.key(0), val_data=list(batches()), val_step=estep,
+                monitor="val_dice_coefficient", monitor_mode="max",
+                mesh=mesh, val_per_sample=True,
+                val_finalizers=val_finalizers_of(extra), verbose=0,
+            )
+            vm = result.history[0].val_metrics
+            assert not any("#" in k for k in vm), vm  # components never logged
+
+            preds = result.state.apply_fn(
+                {"params": result.state.params}, jnp.asarray(images), train=False
+            )
+            ref = _pooled_reference(masks, preds, num_classes)
+            for k, v in ref.items():
+                np.testing.assert_allclose(
+                    vm[k], v, rtol=1e-4,
+                    err_msg=f"{k} (classes={num_classes}, mesh={mesh is not None})",
+                )
+
+
+def test_snapshot_refresh_batches_uses_global_pairs():
+    """Precise-BN refresh batches are mesh-REPLICATED, so every process must
+    select them from the same (pre-shard) pair list — a process-local shard
+    would put different values inside one logically-replicated array
+    (round-3 review). snapshot_refresh_batches must prefer ``global_pairs``."""
+    from adunet.train.seg import snapshot_refresh_batches
+
+    class FakeDS:
+        batch_size = 2
+
+        def __init__(self):
+            # simulate a process shard: local pairs are a strided slice
+            self.global_pairs = [(f"img{i}", f"mask{i}") for i in range(6)]
+            self.pairs = self.global_pairs[0::2]
+
+        def _load_pair(self, image_path, mask_path):
+            idx = int(image_path[3:])
+            return np.full((4, 4, 3), idx, np.float32), np.zeros((4, 4, 1), np.float32)
+
+    ds = FakeDS()
+    batches = snapshot_refresh_batches(ds, n_batches=2)
+    seen = sorted(int(v) for b in batches for v in np.unique(b))
+    # deterministic order over the GLOBAL list: images 0,1 then 2,3
+    assert seen == [0, 1, 2, 3], seen
+
+    # without global_pairs (directly-constructed dataset) it falls back
+    del ds.global_pairs
+    batches = snapshot_refresh_batches(ds, n_batches=2)
+    seen = sorted(int(v) for b in batches for v in np.unique(b))
+    assert seen == [0, 2, 4, 0] or seen == [0, 0, 2, 4], seen  # local shard wraps
