@@ -50,6 +50,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--remat_levels", type=int, default=None,
                         help="Selective remat: checkpoint only the N shallowest "
                              "levels (largest activations); overrides --remat.")
+    parser.add_argument("--grad_accum", type=int, default=1,
+                        help="Split each batch into N sequential micro-batches and apply "
+                             "one optimizer update on the averaged gradients — exact "
+                             "full-batch math at 1/N activation memory (deep 138M configs "
+                             "at large effective batches). batch_size must divide by N.")
     parser.add_argument("--consistent_degradation", action="store_true",
                         help="Train-time LR degradation at --scale instead of the reference's constant 0.5.")
     parser.add_argument("--model_dir", type=str, default="runs/models")
@@ -237,6 +242,19 @@ def train(cfg) -> dict:
             f"batch_size={cfg.batch_size} must be divisible by the per-process data-axis "
             f"share ({local_dp}); pass --n_devices/--model_shards or adjust --batch_size."
         )
+    accum = getattr(cfg, "grad_accum", 1) or 1
+    if accum > 1:
+        if cfg.device_cache:
+            raise ValueError(
+                "--grad_accum is incompatible with --device_cache (the cache "
+                "step samples its own batch); lower --batch_size instead — "
+                "sampling is free, so micro-batching buys nothing there."
+            )
+        if cfg.batch_size % (accum * local_dp) != 0:
+            raise ValueError(
+                f"batch_size={cfg.batch_size} must be divisible by "
+                f"grad_accum x per-process data share ({accum} x {local_dp})."
+            )
 
     sample = jnp.zeros((cfg.batch_size, cfg.patch_size, cfg.patch_size, 3), jnp.float32)
     state = create_train_state(model, jax.random.key(cfg.seed), sample[:1], make_optimizer(cfg.learning_rate))
@@ -404,7 +422,14 @@ def train(cfg) -> dict:
 
         train_iter = train_feed()
     else:
-        train_step = make_sr_train_step(model, loss_fn, data_scale=degrade_scale)
+        from adunet.parallel import batch_sharding as _bs
+
+        accum = getattr(cfg, "grad_accum", 1) or 1
+        train_step = make_sr_train_step(
+            model, loss_fn, data_scale=degrade_scale,
+            grad_accum=accum,
+            batch_sharding=_bs(mesh) if (accum > 1 and mesh is not None) else None,
+        )
 
         train_iter = repeat(train_ds) if paired else train_ds
     # per-sample val metrics: on a single-process mesh fit() pads + SHARDS

@@ -68,6 +68,9 @@ class SRTrainConfig:
     # Selective remat: checkpoint only the N shallowest (largest-activation)
     # encoder/decoder levels; None follows --remat for all blocks
     remat_levels: Optional[int] = None
+    # split each batch into N sequential micro-batches; one optimizer update
+    # on the averaged gradients (exact full-batch math, 1/N activation HBM)
+    grad_accum: int = 1
     n_devices: Optional[int] = None  # None = all visible devices
     # channel (tensor) parallelism degree over a 'model' mesh axis
     model_shards: int = 1
@@ -104,6 +107,10 @@ class SRTrainConfig:
             raise ValueError("max_depth: expected a value >= 1.")
         if self.initial_epoch < 0:
             raise ValueError("initial_epoch: expected a value >= 0.")
+        if self.grad_accum < 1:
+            raise ValueError("grad_accum: expected a value >= 1.")
+        if self.grad_accum > 1 and self.batch_size % self.grad_accum != 0:
+            raise ValueError("batch_size must be divisible by grad_accum.")
         if self.initial_epoch >= self.epochs:
             raise ValueError("initial_epoch must be smaller than epochs to resume training.")
         if not 0 < self.scale < 1:

@@ -78,25 +78,83 @@ def make_sr_train_step(
     loss_fn: Callable[[jax.Array, jax.Array], jax.Array],
     data_scale: float = DATA_LR_SHRINK,
     donate: bool = True,
+    grad_accum: int = 1,
+    batch_sharding=None,
 ):
     """Returns jitted (state, hr_batch) -> (state, metrics).
 
     ``hr_batch``: (B, P, P, 3) float32 HR patches in [0, 1]. LR inputs are
     synthesised on device with the cv2-exact degradation.
+
+    ``grad_accum=k`` splits the batch into k sequential micro-batches
+    (lax.scan) and applies ONE optimizer update on the averaged gradients —
+    activation memory drops to B/k per micro-batch while the update equals
+    the full-batch step exactly (the loss is a batch mean and gradients are
+    linear, so the mean of micro-gradients IS the full-batch gradient, up to
+    float summation order). This is how the 138M-param deep configs reach
+    large effective batches inside one chip's HBM without rematerialising
+    more levels. B must be divisible by k.
+
+    ``batch_sharding``: optional NamedSharding for each MICRO-batch under
+    grad_accum on a mesh — re-pins the micro-batch's sample axis to 'data'
+    so every chip keeps 1/D of each micro-batch (the reshape otherwise
+    leaves GSPMD free to serialise whole micro-batches onto subsets of the
+    mesh). Micro-batch size B/k must stay divisible by the data-axis size.
     """
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}.")
 
     def step(state: TrainState, batch, rng: jax.Array | None = None):
         del rng  # SR training is deterministic given the host patch stream
-        lr_batch, hr_batch = _lr_hr_of(batch, data_scale)
+        if grad_accum == 1:
+            lr_batch, hr_batch = _lr_hr_of(batch, data_scale)
 
-        def compute_loss(params):
-            pred = state.apply_fn({"params": params}, lr_batch)
-            return sr_loss_and_metrics(loss_fn, hr_batch, pred)
+            def compute_loss(params):
+                pred = state.apply_fn({"params": params}, lr_batch)
+                return sr_loss_and_metrics(loss_fn, hr_batch, pred)
 
-        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+            (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            metrics = {"loss": loss, **metrics}
+            return new_state, metrics
+
+        def split(x):
+            if x.shape[0] % grad_accum:
+                raise ValueError(
+                    f"batch size {x.shape[0]} is not divisible by "
+                    f"grad_accum={grad_accum}."
+                )
+            return x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:])
+
+        micro_batches = jax.tree_util.tree_map(split, batch)
+
+        def micro_loss(params, mb):
+            if batch_sharding is not None:
+                mb = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(x, batch_sharding), mb
+                )
+            lr_b, hr_b = _lr_hr_of(mb, data_scale)
+            pred = state.apply_fn({"params": params}, lr_b)
+            return sr_loss_and_metrics(loss_fn, hr_b, pred)
+
+        def body(acc, mb):
+            (loss, metrics), grads = jax.value_and_grad(micro_loss, has_aux=True)(
+                state.params, mb
+            )
+            acc_g, acc_s = acc
+            acc_g = jax.tree_util.tree_map(lambda a, g: a + g, acc_g, grads)
+            scalars = {"loss": loss, **metrics}
+            acc_s = jax.tree_util.tree_map(
+                lambda a, s: a + s.astype(jnp.float32), acc_s, scalars
+            )
+            return (acc_g, acc_s), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_s = {"loss": jnp.zeros((), jnp.float32), "psnr": jnp.zeros((), jnp.float32)}
+        (grads, sums), _ = jax.lax.scan(body, (zero_g, zero_s), micro_batches)
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
         new_state = state.apply_gradients(grads=grads)
-        metrics = {"loss": loss, **metrics}
-        return new_state, metrics
+        return new_state, {k: v / grad_accum for k, v in sums.items()}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 

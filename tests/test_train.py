@@ -801,3 +801,72 @@ def test_snapshot_refresh_batches_uses_global_pairs():
     batches = snapshot_refresh_batches(ds, n_batches=2)
     seen = sorted(int(v) for b in batches for v in np.unique(b))
     assert seen == [0, 2, 4, 0] or seen == [0, 0, 2, 4], seen  # local shard wraps
+
+
+def test_grad_accum_matches_full_batch_step():
+    """grad_accum=k must produce the SAME parameter update as the full-batch
+    step (gradients of a batch-mean loss are linear), and the same metrics."""
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = jnp.asarray(_synthetic_hr(n=16))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+
+    def fresh():
+        return create_train_state(
+            model, jax.random.key(0), hr[:2], make_optimizer(1e-3)
+        )
+
+    full = make_sr_train_step(model, loss_fn, donate=False)
+    accum = make_sr_train_step(model, loss_fn, donate=False, grad_accum=4)
+
+    s_full, m_full = full(fresh(), hr, None)
+    s_acc, m_acc = accum(fresh(), hr, None)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_acc["psnr"]), float(m_full["psnr"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_acc.params), jax.tree_util.tree_leaves(s_full.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
+
+
+def test_grad_accum_on_mesh_matches_single_device():
+    """grad_accum under a sharded batch (with the micro-batch sharding
+    constraint) must equal the unmeshed result."""
+    from adunet.parallel import batch_sharding, shard_batch
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = jnp.asarray(_synthetic_hr(n=16))
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+
+    mesh = make_mesh(8)
+    # micro-batch size 16/2 = 8 stays divisible by the 8-way data axis
+    step_m = make_sr_train_step(
+        model, loss_fn, donate=False, grad_accum=2, batch_sharding=batch_sharding(mesh)
+    )
+    step_1 = make_sr_train_step(model, loss_fn, donate=False, grad_accum=2)
+
+    s_m, m_m = step_m(replicate(state, mesh), shard_batch(hr, mesh), None)
+    s_1, m_1 = step_1(state, hr, None)
+    np.testing.assert_allclose(float(m_m["loss"]), float(m_1["loss"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_m.params), jax.tree_util.tree_leaves(s_1.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
+
+
+def test_grad_accum_rejects_indivisible_batch():
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False, grad_accum=3)
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-3)
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        step(state, jnp.asarray(_synthetic_hr(n=16)), None)
