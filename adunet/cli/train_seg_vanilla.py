@@ -77,7 +77,7 @@ def train(args: argparse.Namespace) -> dict:
         make_optimizer,
         make_seg_eval_step,
         make_seg_train_step,
-        val_finalizers_of,
+        metric_finalizers_of,
     )
 
     # must run before process_shard touches jax.process_count(), which would
@@ -207,7 +207,7 @@ def train(args: argparse.Namespace) -> dict:
         mesh=mesh,
         log_dir=run_dir if _is_main else None,
         val_per_sample=True,
-        val_finalizers=val_finalizers_of(extra),
+        metric_finalizers=metric_finalizers_of(extra),
     )
     state = result.state
 

@@ -12,7 +12,7 @@ from adunet.train.sr import (
     sr_loss_and_metrics,
     DATA_LR_SHRINK,
 )
-from adunet.train.seg import make_seg_train_step, make_seg_eval_step, val_finalizers_of
+from adunet.train.seg import make_seg_train_step, make_seg_eval_step, metric_finalizers_of
 from adunet.train.joint import make_joint_train_step, make_joint_eval_step
 from adunet.train.loop import fit, repeat, FitResult, EpochLog
 from adunet.train.checkpoint import CheckpointManager
@@ -32,7 +32,7 @@ __all__ = [
     "DATA_LR_SHRINK",
     "make_seg_train_step",
     "make_seg_eval_step",
-    "val_finalizers_of",
+    "metric_finalizers_of",
     "make_joint_train_step",
     "make_joint_eval_step",
     "fit",

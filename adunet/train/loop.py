@@ -125,7 +125,7 @@ def fit(
     val_per_sample: bool = False,
     pre_val_hook: Optional[Callable[[TrainState], TrainState]] = None,
     cache_val_on_device: bool = False,
-    val_finalizers: Optional[Dict[str, Callable]] = None,
+    metric_finalizers: Optional[Dict[str, Callable]] = None,
 ) -> FitResult:
     """Run the training loop.
 
@@ -139,10 +139,13 @@ def fit(
       are then padded to a data-axis-divisible shape and SHARDED, with padded
       rows masked inside a jitted reduction — each chip does 1/N of the val
       work instead of replicating the whole batch (VERDICT r2 #3).
-    - ``val_finalizers``: for POOLED metrics (see
-      ``adunet.metrics.PooledMetric``): ``val_step`` emits per-sample
-      component sums under ``"{name}#{component}"`` keys; after the epoch's
-      masked summation, ``val_metrics[name] = finalizer({component: sum})``.
+    - ``metric_finalizers``: for POOLED metrics (see
+      ``adunet.metrics.PooledMetric``): train/val steps emit component sums
+      under ``"{name}#{component}"`` keys; after the epoch's summation
+      (masked per-sample sums on the sharded val path, per-step sums on the
+      train path), ``metrics[name] = finalizer({component: sum})`` — i.e.
+      the metric pools over everything the epoch saw, exactly like Keras's
+      stateful metrics (which reset per epoch and accumulate per batch).
       Component keys never appear in the logged metrics themselves.
     """
     rng = rng if rng is not None else jax.random.key(0)
@@ -284,9 +287,20 @@ def fit(
                     jax.profiler.stop_trace()
                 except Exception:
                     pass
+            raw_train = {k: np.asarray(v) for k, v in acc.items()}
             train_metrics = {
-                k: float(np.asarray(v)) / steps_per_epoch for k, v in acc.items()
+                k: float(v) / steps_per_epoch
+                for k, v in raw_train.items()
+                if "#" not in k
             }
+            for name, fin in (metric_finalizers or {}).items():
+                comps = {
+                    k.split("#", 1)[1]: raw_train[k]
+                    for k in raw_train
+                    if k.startswith(name + "#")
+                }
+                if comps:
+                    train_metrics[name] = float(fin(comps))
 
             # failure detection: a non-finite mean loss means the run is
             # diverged/poisoned — stop before checkpointing the bad state
@@ -347,7 +361,7 @@ def fit(
                     val_metrics = {
                         k: float(v) / vcount for k, v in raw.items() if "#" not in k
                     }
-                    for name, fin in (val_finalizers or {}).items():
+                    for name, fin in (metric_finalizers or {}).items():
                         comps = {
                             k.split("#", 1)[1]: raw[k]
                             for k in raw

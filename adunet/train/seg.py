@@ -22,7 +22,7 @@ from adunet.train.state import TrainState
 __all__ = [
     "make_seg_train_step",
     "make_seg_eval_step",
-    "val_finalizers_of",
+    "metric_finalizers_of",
     "make_bn_refresh_step",
     "precise_batch_stats",
     "snapshot_refresh_batches",
@@ -77,7 +77,15 @@ def make_seg_train_step(
             "iou": iou_score(masks, pred),
         }
         for name, fn in (extra_metrics or {}).items():
-            metrics[name] = fn.batch_fn(masks, pred) if isinstance(fn, PooledMetric) else fn(masks, pred)
+            if isinstance(fn, PooledMetric):
+                # component sums accumulate across the epoch's steps in
+                # fit(); metric_finalizers[name] pools them — the Keras
+                # stateful-metric convention (reset per epoch, accumulate
+                # per batch) rather than a mean of per-batch values
+                for comp, v in fn.stats(masks, pred).items():
+                    metrics[f"{name}#{comp}"] = v
+            else:
+                metrics[name] = fn(masks, pred)
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())
@@ -99,7 +107,7 @@ def make_seg_eval_step(
     precision/recall, hard mIoU) must be passed as
     :class:`adunet.metrics.PooledMetric`: their per-sample component sums
     are emitted under ``"{name}#{component}"`` keys and fit() applies the
-    matching ``val_finalizers[name]`` to the masked epoch sums, yielding the
+    matching ``metric_finalizers[name]`` to the masked epoch sums, yielding the
     exact whole-val-set pooled value. With ``per_sample=False`` pooled
     metrics fall back to their plain batch value (the reference's Keras
     per-batch-mean convention).
@@ -135,8 +143,8 @@ def make_seg_eval_step(
     return step
 
 
-def val_finalizers_of(extra_metrics: Dict[str, Callable] | None) -> Dict[str, Callable]:
-    """Extract fit()'s ``val_finalizers`` mapping from an extra-metrics dict."""
+def metric_finalizers_of(extra_metrics: Dict[str, Callable] | None) -> Dict[str, Callable]:
+    """Extract fit()'s ``metric_finalizers`` mapping from an extra-metrics dict."""
     return {
         name: fn.finalize
         for name, fn in (extra_metrics or {}).items()

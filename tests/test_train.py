@@ -647,7 +647,7 @@ def test_pooled_metrics_sharded_val_exact():
     from adunet.metrics import pooled_global_dice, pooled_precision, pooled_recall
     from adunet.models import build_unet
     from adunet.parallel.mesh import pad_and_shard_ragged
-    from adunet.train import val_finalizers_of
+    from adunet.train import metric_finalizers_of
 
     model = build_unet(16, num_classes=1, base_channels=4, depth=1)
     rng = np.random.default_rng(3)
@@ -664,7 +664,7 @@ def test_pooled_metrics_sharded_val_exact():
     }
     estep = make_seg_eval_step(model, binary_crossentropy, extra_metrics=extra,
                                per_sample=True)
-    finalizers = val_finalizers_of(extra)
+    finalizers = metric_finalizers_of(extra)
     assert set(finalizers) == set(extra)
 
     # direct whole-set reference over the full val set
@@ -700,7 +700,7 @@ def test_pooled_metrics_sharded_val_exact():
 
 
 def test_pooled_metrics_fit_end_to_end_binary_and_multiclass():
-    """fit(val_per_sample=True, val_finalizers=...) must log pooled metrics
+    """fit(val_per_sample=True, metric_finalizers=...) must log pooled metrics
     equal to the direct whole-set computation with the post-epoch state —
     both on a mesh (sharded val) and without one (plain per-sample path)."""
     from adunet.losses import binary_crossentropy, make_weighted_ce_loss
@@ -711,7 +711,7 @@ def test_pooled_metrics_fit_end_to_end_binary_and_multiclass():
         pooled_recall,
     )
     from adunet.models import build_unet
-    from adunet.train import val_finalizers_of
+    from adunet.train import metric_finalizers_of
 
     rng = np.random.default_rng(7)
     images = rng.random((11, 16, 16, 3), dtype=np.float32)
@@ -737,7 +737,8 @@ def test_pooled_metrics_fit_end_to_end_binary_and_multiclass():
             )
             if mesh is not None:
                 state = replicate(state, mesh)
-            tstep = make_seg_train_step(model, loss_fn, augment=False, donate=False)
+            tstep = make_seg_train_step(model, loss_fn, augment=False, donate=False,
+                                        extra_metrics=extra)
             estep = make_seg_eval_step(model, loss_fn, extra_metrics=extra,
                                        per_sample=True)
 
@@ -755,10 +756,14 @@ def test_pooled_metrics_fit_end_to_end_binary_and_multiclass():
                 rng=jax.random.key(0), val_data=list(batches()), val_step=estep,
                 monitor="val_dice_coefficient", monitor_mode="max",
                 mesh=mesh, val_per_sample=True,
-                val_finalizers=val_finalizers_of(extra), verbose=0,
+                metric_finalizers=metric_finalizers_of(extra), verbose=0,
             )
             vm = result.history[0].val_metrics
             assert not any("#" in k for k in vm), vm  # components never logged
+            tm = result.history[0].metrics
+            assert not any("#" in k for k in tm), tm
+            # train side pools over the epoch too (Keras stateful metrics)
+            assert set(extra) <= set(tm), tm
 
             preds = result.state.apply_fn(
                 {"params": result.state.params}, jnp.asarray(images), train=False
