@@ -34,3 +34,29 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 jax.config.update("jax_platforms", "cpu")
 jax.devices()
 
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def perturb_params():
+    """Break identity-start before an equivalence test.
+
+    The SR model's residual head is zero-initialised, so on a fresh init the
+    output is exactly clip(input) and every gradient upstream of the head is
+    exactly zero — output- or gradient-equivalence assertions then compare
+    zeros and pass vacuously. Perturbing every leaf makes the whole network
+    load-bearing, as a trained checkpoint would be.
+    """
+
+    def _perturb(params, scale=0.02, seed=7):
+        leaves, treedef = jax.tree_util.tree_flatten(params)
+        keys = jax.random.split(jax.random.key(seed), len(leaves))
+        leaves = [
+            l + scale * jax.random.normal(k, l.shape, l.dtype)
+            for l, k in zip(leaves, keys)
+        ]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return _perturb

@@ -86,7 +86,7 @@ def test_cross_platform_export_lowers_for_tpu(tiny_state):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
-def test_int8_weight_only_quantized_export(tmp_path):
+def test_int8_weight_only_quantized_export(tmp_path, perturb_params):
     """--quantize int8 bakes conv kernels as int8 + per-channel scales: the
     artifact must shrink substantially and stay close to the f32 program.
     Uses a ~600K-param model so weight bytes dominate the HLO overhead."""
@@ -109,11 +109,7 @@ def test_int8_weight_only_quantized_export(tmp_path):
     # int8 weight error cancels EXACTLY (output = clip(input) regardless of
     # upstream kernels) — perturb every leaf so the drift bounds below
     # measure a non-trivial network, as a trained checkpoint would
-    leaves, treedef = jax.tree_util.tree_flatten(state.params)
-    keys = jax.random.split(jax.random.key(7), len(leaves))
-    leaves = [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
-              for l, k in zip(leaves, keys)]
-    state = state.replace(params=jax.tree_util.tree_unflatten(treedef, leaves))
+    state = state.replace(params=perturb_params(state.params))
 
     # quantization structure: 4-D kernels -> {q:int8, scale:f32[C]}, rest f32
     qtree = quantize_params_int8(state.params)

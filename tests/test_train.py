@@ -808,7 +808,7 @@ def test_snapshot_refresh_batches_uses_global_pairs():
     assert seen == [0, 2, 4, 0] or seen == [0, 0, 2, 4], seen  # local shard wraps
 
 
-def test_grad_accum_matches_full_batch_step():
+def test_grad_accum_matches_full_batch_step(perturb_params):
     """grad_accum=k must produce the SAME parameter update as the full-batch
     step (gradients of a batch-mean loss are linear), and the same metrics."""
     model, _ = build_super_resolution_unet(
@@ -818,9 +818,12 @@ def test_grad_accum_matches_full_batch_step():
     loss_fn, _ = build_losses_and_metrics("charbonnier")
 
     def fresh():
-        return create_train_state(
+        state = create_train_state(
             model, jax.random.key(0), hr[:2], make_optimizer(1e-3)
         )
+        # identity-start zeroes all upstream gradients — perturb so the
+        # update comparison covers the whole tree, not just the head
+        return state.replace(params=perturb_params(state.params))
 
     full = make_sr_train_step(model, loss_fn, donate=False)
     accum = make_sr_train_step(model, loss_fn, donate=False, grad_accum=4)
@@ -836,7 +839,7 @@ def test_grad_accum_matches_full_batch_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
 
 
-def test_grad_accum_on_mesh_matches_single_device():
+def test_grad_accum_on_mesh_matches_single_device(perturb_params):
     """grad_accum under a sharded batch (with the micro-batch sharding
     constraint) must equal the unmeshed result."""
     from adunet.parallel import batch_sharding, shard_batch
@@ -847,6 +850,7 @@ def test_grad_accum_on_mesh_matches_single_device():
     hr = jnp.asarray(_synthetic_hr(n=16))
     loss_fn, _ = build_losses_and_metrics("charbonnier")
     state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    state = state.replace(params=perturb_params(state.params))
 
     mesh = make_mesh(8)
     # micro-batch size 16/2 = 8 stays divisible by the 8-way data axis
