@@ -111,3 +111,36 @@ def test_area_matches_tf_area(out_size):
     ours = np.asarray(resize(jnp.asarray(img)[None], (out_size, out_size), "area")[0])
     theirs = tf.image.resize(img[None], [out_size, out_size], method="area").numpy()[0]
     np.testing.assert_allclose(ours, theirs, atol=3e-5, rtol=1e-4)
+
+
+def test_resize_fuzz_random_shapes_vs_oracles():
+    """Randomized sweep: 60 (in_shape, out_shape, method) combos against the
+    TF / cv2 oracles. The parameterized tests above pin the shapes the
+    pipelines actually use; this guards the kernel-synthesis math (box
+    overlap, support windows, ragged edges) across arbitrary shapes —
+    including extreme aspect ratios and 1px edges no pipeline hits today."""
+    rng = np.random.default_rng(2026)
+    checked = 0
+    for case in range(60):
+        h, w = int(rng.integers(3, 90)), int(rng.integers(3, 90))
+        nh, nw = int(rng.integers(1, 90)), int(rng.integers(1, 90))
+        img = rng.random((h, w, 3), dtype=np.float32)
+        kind = case % 3
+        if kind == 0:  # bilinear+antialias: ResizeByScale/ToMatch path
+            ours = np.asarray(resize(jnp.asarray(img)[None], (nh, nw), "bilinear", antialias=True))[0]
+            ref = tf.image.resize(img[None], [nh, nw], method="bilinear", antialias=True).numpy()[0]
+            np.testing.assert_allclose(ours, ref, atol=2e-5, rtol=1e-4,
+                                       err_msg=f"bilinear {h}x{w}->{nh}x{nw}")
+        elif kind == 1:  # AREA: degrade's downsample / seg loader resize
+            ours = np.asarray(resize(jnp.asarray(img)[None], (nh, nw), "area"))[0]
+            ref = tf.image.resize(img[None], [nh, nw], method="area").numpy()[0]
+            np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=2e-4,
+                                       err_msg=f"area {h}x{w}->{nh}x{nw}")
+        else:  # cv2 INTER_CUBIC upsample: degrade's second leg (upscale only)
+            nh2, nw2 = max(nh, h), max(nw, w)
+            ours = np.asarray(resize(jnp.asarray(img)[None], (nh2, nw2), "bicubic_cv2", antialias=False))[0]
+            ref = cv2.resize(img, (nw2, nh2), interpolation=cv2.INTER_CUBIC)
+            np.testing.assert_allclose(ours, ref, atol=3e-5, rtol=2e-4,
+                                       err_msg=f"cubic {h}x{w}->{nh2}x{nw2}")
+        checked += 1
+    assert checked == 60
