@@ -96,3 +96,27 @@ def test_dice_and_iou_closed_form():
 def test_dice_perfect_is_one():
     y = np.ones((2, 8, 8, 1), np.float32)
     assert float(dice_coefficient(jnp.asarray(y), jnp.asarray(y))) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_ssim_msssim_fuzz_random_shapes_vs_tf():
+    """Randomized sweep vs tf.image: SSIM over arbitrary (H, W) >= the 11px
+    filter, MS-SSIM over shapes >= the 5-scale floor (>=176px after the
+    reference's shave). Guards the Gaussian-window edge math and the
+    per-scale downsampling across shapes the fixed tests don't pin."""
+    rng = np.random.default_rng(77)
+    for _ in range(12):
+        h, w = int(rng.integers(11, 120)), int(rng.integers(11, 120))
+        a = rng.random((2, h, w, 3), dtype=np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+        ours = np.asarray(ssim(jnp.asarray(a), jnp.asarray(b)))
+        theirs = tf.image.ssim(a, b, max_val=1.0).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=2e-5, rtol=1e-4,
+                                   err_msg=f"ssim {h}x{w}")
+    for _ in range(4):
+        h, w = int(rng.integers(176, 320)), int(rng.integers(176, 320))
+        a = rng.random((1, h, w, 3), dtype=np.float32)
+        b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+        ours = np.asarray(ssim_multiscale(jnp.asarray(a), jnp.asarray(b)))
+        theirs = tf.image.ssim_multiscale(a, b, max_val=1.0).numpy()
+        np.testing.assert_allclose(ours, theirs, atol=5e-5, rtol=2e-4,
+                                   err_msg=f"msssim {h}x{w}")
