@@ -144,3 +144,20 @@ def test_resize_fuzz_random_shapes_vs_oracles():
                                        err_msg=f"cubic {h}x{w}->{nh2}x{nw2}")
         checked += 1
     assert checked == 60
+
+
+def test_degrade_fuzz_random_scales_vs_cv2_chain():
+    """Randomized degrade parity: the fused on-device AREA-down + CUBIC-up
+    chain vs the reference's two cv2 calls (shared/pipeline.py:79-94) over
+    random (size, scale) combos beyond the three pinned ones."""
+    rng = np.random.default_rng(11)
+    for _ in range(15):
+        size = int(rng.integers(24, 160))
+        scale = float(rng.uniform(0.15, 0.95))
+        img = rng.random((size, size, 3), dtype=np.float32)
+        ours = np.asarray(degrade(jnp.asarray(img)[None], scale, size)[0])
+        down = max(1, int(round(size * scale)))
+        ref_dn = cv2.resize(img, (down, down), interpolation=cv2.INTER_AREA)
+        ref = cv2.resize(ref_dn, (size, size), interpolation=cv2.INTER_CUBIC)
+        np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=2e-4,
+                                   err_msg=f"degrade size={size} scale={scale:.3f}")
