@@ -432,3 +432,33 @@ def test_load_rgb_image_linear_matches_tf_bilinear(tmp_path):
     # default stays the shared loader's INTER_AREA
     area = load_rgb_image(p, 64)
     assert np.abs(area - ours).max() > 1e-3  # the two kernels genuinely differ
+
+
+def test_scale_jitter_crop_fuzz_vs_tf():
+    """Randomized sweep of the coordinate-sampling augment vs tf
+    resize(bilinear)+crop over random (size, jitter, offset) combos —
+    broadens the single fixed case above to the whole jitter range the
+    protocol trainer samples from (scale in [1.0, 1.25])."""
+    tf = pytest.importorskip("tensorflow")
+    from adunet.data.augment import _linear_gather
+
+    rng = np.random.default_rng(8)
+    for _ in range(20):
+        size = int(rng.integers(8, 64))
+        scaled = int(rng.integers(size, int(size * 1.3) + 1))
+        oy = int(rng.integers(0, scaled - size + 1))
+        ox = int(rng.integers(0, scaled - size + 1))
+        img = rng.random((size, size, 3), dtype=np.float32)
+
+        idx = jnp.arange(size, dtype=jnp.float32)
+        ratio = size / scaled
+        ys = (oy + idx + 0.5) * ratio - 0.5
+        xs = (ox + idx + 0.5) * ratio - 0.5
+        ours = np.asarray(_linear_gather(_linear_gather(jnp.asarray(img), ys, 0), xs, 1))
+
+        resized = tf.image.resize(img[None], [scaled, scaled], method="bilinear").numpy()[0]
+        theirs = resized[oy : oy + size, ox : ox + size]
+        np.testing.assert_allclose(
+            ours, theirs, atol=3e-6,
+            err_msg=f"jitter size={size} scaled={scaled} off=({oy},{ox})",
+        )
