@@ -235,3 +235,109 @@ def test_two_process_train_sr_cli_end_to_end(tmp_path):
     assert cfg["n_devices"] == 4  # global mesh spanned both processes
     ckpts = list((out / "models").glob("unet_adaptive_scale0.50_depth1"))
     assert ckpts
+
+
+_GENERIC_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+
+from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate, shard_batch
+
+assert maybe_initialize_distributed(), "distributed init did not engage"
+NPROC = int(os.environ["JAX_NUM_PROCESSES"])
+assert jax.process_count() == NPROC, jax.process_count()
+
+import jax.numpy as jnp
+from adunet.losses import charbonnier_loss
+from adunet.models import build_super_resolution_unet
+from adunet.train import create_train_state, make_optimizer, make_sr_train_step
+
+pid = jax.process_index()
+mesh = make_mesh(jax.device_count())
+
+model, _ = build_super_resolution_unet(
+    scale=0.5, depth_override=1, input_size=16, base_channels=8,
+    residual_head_channels=8,
+)
+state = create_train_state(
+    model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+)
+state = replicate(state, mesh)
+
+rng = np.random.default_rng(0)
+global_batch = rng.random((8, 16, 16, 3)).astype(np.float32)
+per = 8 // NPROC
+local = global_batch[pid * per : (pid + 1) * per]
+
+step = make_sr_train_step(model, charbonnier_loss, donate=False)
+state, metrics = step(state, shard_batch(local, mesh), None)
+print(f"WORKER_LOSS {float(np.asarray(metrics['loss'])):.8f}", flush=True)
+"""
+
+
+def test_four_process_distributed_training_matches_single_process(tmp_path):
+    """Same contract at N=4 with ONE device per process (the 2-process test
+    runs 2x2) — catches anything accidentally specialized to two workers or
+    to multi-device processes: 4-way coordination-service join, collectives
+    spanning 4 process boundaries, per-process global-array assembly from a
+    quarter batch."""
+    port = _free_port()
+    worker = tmp_path / "worker4.py"
+    worker.write_text(_GENERIC_WORKER)
+
+    procs = []
+    for pid in range(4):
+        env = dict(os.environ)
+        env.update(
+            JAX_PLATFORMS="cpu",
+            XLA_FLAGS="--xla_force_host_platform_device_count=1",
+            JAX_COORDINATOR_ADDRESS=f"localhost:{port}",
+            JAX_NUM_PROCESSES="4",
+            JAX_PROCESS_ID=str(pid),
+            PYTHONPATH=str(Path(__file__).resolve().parents[1]),
+        )
+        procs.append(
+            subprocess.Popen(
+                [sys.executable, str(worker)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            )
+        )
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+    losses = [
+        float(line.split()[1])
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("WORKER_LOSS")
+    ]
+    assert len(losses) == 4
+    assert len(set(losses)) == 1  # every process observes the same global loss
+
+    # single-process run over the same global batch on a 4-device mesh
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.losses import charbonnier_loss
+    from adunet.models import build_super_resolution_unet
+    from adunet.parallel import make_mesh, replicate, shard_batch
+    from adunet.train import create_train_state, make_optimizer, make_sr_train_step
+
+    mesh = make_mesh(4)
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=16, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+    )
+    state = replicate(state, mesh)
+    rng = np.random.default_rng(0)
+    global_batch = rng.random((8, 16, 16, 3)).astype(np.float32)
+    step = make_sr_train_step(model, charbonnier_loss, donate=False)
+    _, metrics = step(state, shard_batch(global_batch, mesh), None)
+    np.testing.assert_allclose(losses[0], float(np.asarray(metrics["loss"])), rtol=1e-6)
