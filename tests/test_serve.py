@@ -32,6 +32,16 @@ def served(tmp_path_factory):
     state = create_train_state(
         model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-4)
     )
+    # identity-start would make the served forward == clip(input): an
+    # echo-server bug would then pass every predict round-trip. Perturb the
+    # params so the comparisons require the real network to have run.
+    leaves, treedef = jax.tree_util.tree_flatten(state.params)
+    keys = jax.random.split(jax.random.key(7), len(leaves))
+    state = state.replace(params=jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    ))
     exported = export_sr_forward(state, patch_size=32, batch_size=4, platforms=("cpu",))
     art = save_artifact(
         exported, tmp_path_factory.mktemp("srv") / "artifact", meta={"scale": 0.5}
@@ -205,3 +215,52 @@ def test_make_server_requires_manifest_input_shape(tmp_path):
     # either load_artifact rejects the bogus program or make_server rejects
     # the missing manifest — both must be explicit, never a KeyError
     assert not isinstance(exc_info.value, KeyError)
+
+
+def test_serve_int8_artifact_round_trip(tmp_path):
+    """The server over an int8 weight-only artifact (manifest + external
+    weights.npz, the multi-input program path) must return the quantized
+    program's outputs — exercising _Batcher + load_artifact's weight
+    re-binding together, which no other test combines."""
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.cli.serve import make_server
+    from adunet.export import export_sr_forward, load_artifact, save_artifact
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-4)
+    )
+    leaves, treedef = jax.tree_util.tree_flatten(state.params)
+    keys = jax.random.split(jax.random.key(5), len(leaves))
+    state = state.replace(params=jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.02 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    ))
+    exported = export_sr_forward(
+        state, patch_size=32, batch_size=2, platforms=("cpu",), quantize="int8"
+    )
+    art = save_artifact(exported, tmp_path / "int8", meta={"quantization": "int8-weight-only"})
+
+    call, _manifest = load_artifact(art)
+    server = make_server(str(art), port=0, batch_window_ms=50.0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        x = np.random.default_rng(3).random((32, 32, 3), dtype=np.float32)
+        got = _post_npy(f"{base}/v1/predict", x)
+        assert got.shape == (1, 32, 32, 3)
+        want = np.asarray(call(np.asarray(x)[None].repeat(2, axis=0)))[0]
+        np.testing.assert_allclose(got[0], want, atol=1e-6)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        server.server_close()
