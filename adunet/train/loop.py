@@ -29,7 +29,7 @@ from adunet.parallel.mesh import (
 from adunet.train.checkpoint import CheckpointManager
 from adunet.train.state import TrainState
 
-__all__ = ["fit", "FitResult", "EpochLog"]
+__all__ = ["fit", "FitResult", "EpochLog", "make_plateau_state", "plateau_update"]
 
 
 @dataclass
@@ -88,6 +88,66 @@ def _scale_injected_lr(state: TrainState, factor: float, min_lr: float) -> Train
     hyperparams = dict(opt_state.hyperparams)
     hyperparams["learning_rate"] = new_lr
     return state.replace(opt_state=opt_state._replace(hyperparams=hyperparams))
+
+
+def make_plateau_state(spec: Dict[str, Any]) -> Dict[str, Any]:
+    """Normalize a reduce_lr_on_plateau spec into mutable callback state.
+
+    Semantics match keras.callbacks.ReduceLROnPlateau exactly (the vanilla
+    seg reference relies on it, unet_vinillia.py:281): improvement means
+    beating best by MORE than ``min_delta`` (Keras default 1e-4 — without it
+    the sub-1e-4 improvements typical of a plateau keep resetting the wait
+    counter and the reduction never fires), and ``cooldown`` epochs after a
+    reduction freeze the wait counter while still tracking best.
+    """
+    return {
+        "monitor": spec.get("monitor", "val_loss"),
+        "mode": spec.get("mode", "min"),
+        "factor": spec.get("factor", 0.5),
+        "patience": spec.get("patience", 5),
+        "min_lr": spec.get("min_lr", 1e-6),
+        "min_delta": spec.get("min_delta", 1e-4),
+        "cooldown": spec.get("cooldown", 0),
+        "best": None,
+        "wait": 0,
+        "cooldown_counter": 0,
+    }
+
+
+def plateau_update(rlp: Dict[str, Any], current: float) -> bool:
+    """One epoch of ReduceLROnPlateau state; True = reduce the LR now.
+
+    Mirrors Keras's on_epoch_end order: cooldown decrements first (and holds
+    wait at 0), best updates whenever the metric beats it by min_delta (even
+    during cooldown), and the wait counter only advances outside cooldown.
+    """
+    if rlp["cooldown_counter"] > 0:
+        rlp["cooldown_counter"] -= 1
+        rlp["wait"] = 0
+    in_cooldown = rlp["cooldown_counter"] > 0
+
+    best = rlp["best"]
+    if best is None or np.isnan(best):
+        # Keras initialises best to the mode's worst value, so a +inf first
+        # metric in 'min' mode is NOT an improvement (inf < inf is false)
+        best = np.inf if rlp["mode"] == "min" else -np.inf
+    if rlp["mode"] == "min":
+        improved = current < best - rlp["min_delta"]
+    else:
+        improved = current > best + rlp["min_delta"]
+
+    if improved:
+        rlp["best"] = current
+        rlp["wait"] = 0
+        return False
+    if in_cooldown:
+        return False
+    rlp["wait"] += 1
+    if rlp["wait"] >= rlp["patience"]:
+        rlp["wait"] = 0
+        rlp["cooldown_counter"] = rlp["cooldown"]
+        return True
+    return False
 
 
 def repeat(dataset):
@@ -158,18 +218,9 @@ def fit(
     stopped_early = False
 
     # ReduceLROnPlateau (Keras semantics: separate monitor/patience from
-    # early stopping; requires an inject_hyperparams optimizer)
-    rlp = None
-    if reduce_lr_on_plateau is not None:
-        rlp = {
-            "monitor": reduce_lr_on_plateau.get("monitor", "val_loss"),
-            "mode": reduce_lr_on_plateau.get("mode", "min"),
-            "factor": reduce_lr_on_plateau.get("factor", 0.5),
-            "patience": reduce_lr_on_plateau.get("patience", 5),
-            "min_lr": reduce_lr_on_plateau.get("min_lr", 1e-6),
-            "best": None,
-            "wait": 0,
-        }
+    # early stopping, min_delta/cooldown included; requires an
+    # inject_hyperparams optimizer)
+    rlp = make_plateau_state(reduce_lr_on_plateau) if reduce_lr_on_plateau is not None else None
 
     csv_writer = None
     csv_file = None
@@ -414,19 +465,13 @@ def fit(
             if rlp is not None:
                 rlp_current = monitored_pool.get(rlp["monitor"])
                 if rlp_current is not None:
-                    if _improved(rlp_current, rlp["best"], rlp["mode"]):
-                        rlp["best"] = rlp_current
-                        rlp["wait"] = 0
-                    else:
-                        rlp["wait"] += 1
-                        if rlp["wait"] >= rlp["patience"]:
-                            state = _scale_injected_lr(state, rlp["factor"], rlp["min_lr"])
-                            rlp["wait"] = 0
-                            if verbose:
-                                new_lr = float(
-                                    np.asarray(state.opt_state.hyperparams["learning_rate"])
-                                )
-                                print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
+                    if plateau_update(rlp, rlp_current):
+                        state = _scale_injected_lr(state, rlp["factor"], rlp["min_lr"])
+                        if verbose:
+                            new_lr = float(
+                                np.asarray(state.opt_state.hyperparams["learning_rate"])
+                            )
+                            print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
 
             if ckpt is not None:
                 _tc0 = time.perf_counter()

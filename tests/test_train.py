@@ -879,3 +879,72 @@ def test_grad_accum_rejects_indivisible_batch():
     )
     with pytest.raises(ValueError, match="divisible"):
         step(state, jnp.asarray(_synthetic_hr(n=16)), None)
+
+
+def test_reduce_lr_on_plateau_matches_keras_callback():
+    """Drive Keras's ACTUAL ReduceLROnPlateau callback and our plateau_update
+    over the same randomized metric sequences: the produced LR schedule must
+    be identical epoch by epoch. Covers min_delta (sub-threshold
+    "improvements" must NOT reset the wait counter — exactly the plateau
+    regime the callback exists for), cooldown, min_lr clamping, inf/nan
+    metrics, and both modes. Reference relies on the Keras defaults
+    (Segmenation/code/unet_vinillia.py:281)."""
+    tf = pytest.importorskip("tensorflow")
+    from tensorflow import keras
+
+    from adunet.train.loop import make_plateau_state, plateau_update
+
+    rng = np.random.default_rng(0)
+    specs = [
+        dict(monitor="val_loss", mode="min", factor=0.5, patience=5, min_lr=1e-6),
+        dict(monitor="val_loss", mode="min", factor=0.3, patience=2, min_lr=1e-5,
+             cooldown=3),
+        dict(monitor="val_dice", mode="max", factor=0.5, patience=3, min_lr=1e-6,
+             min_delta=1e-2),
+    ]
+    for si, spec in enumerate(specs):
+        # metric sequences with long plateaus: large moves early, then
+        # sub-min_delta jitter (the regime where min_delta decides behavior)
+        n_epochs = 40
+        base = np.concatenate([
+            np.linspace(1.0, 0.3, 10),
+            0.3 + rng.normal(0, 5e-5, 15),       # sub-1e-4 jitter plateau
+            np.linspace(0.3, 0.29, 5),
+            0.29 + rng.normal(0, 2e-2, 10),      # noisy regime
+        ])
+        if spec["mode"] == "max":
+            base = 1.0 - base
+        base = base.astype(np.float64)
+        base[17] = np.inf if spec["mode"] == "min" else -np.inf  # inf epoch
+        lr0 = 1e-3
+
+        # Keras oracle: a real compiled model, callback driven via
+        # on_epoch_end with synthetic logs
+        model = keras.Sequential([keras.layers.Dense(1, input_shape=(1,))])
+        model.compile(optimizer=keras.optimizers.Adam(learning_rate=lr0), loss="mse")
+        kcb = keras.callbacks.ReduceLROnPlateau(
+            monitor=spec["monitor"], mode=spec["mode"], factor=spec["factor"],
+            patience=spec["patience"], min_lr=spec["min_lr"],
+            min_delta=spec.get("min_delta", 1e-4),
+            cooldown=spec.get("cooldown", 0), verbose=0,
+        )
+        kcb.set_model(model)
+        kcb.on_train_begin()
+        keras_lrs = []
+        for epoch, v in enumerate(base):
+            kcb.on_epoch_end(epoch, logs={spec["monitor"]: float(v)})
+            keras_lrs.append(float(np.asarray(model.optimizer.learning_rate)))
+
+        # ours
+        rlp = make_plateau_state(spec)
+        lr = lr0
+        our_lrs = []
+        for v in base:
+            if plateau_update(rlp, float(v)):
+                lr = max(lr * rlp["factor"], rlp["min_lr"])
+            our_lrs.append(lr)
+
+        np.testing.assert_allclose(
+            our_lrs, keras_lrs, rtol=1e-6,
+            err_msg=f"spec {si}: LR schedules diverged\nours : {our_lrs}\nkeras: {keras_lrs}",
+        )
