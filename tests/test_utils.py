@@ -65,3 +65,19 @@ def test_process_shard_equal_lengths(monkeypatch):
     monkeypatch.setattr(distributed.jax, "process_index", lambda: 3)
     assert distributed.process_shard(["only"]) == ["only"]
     assert distributed.process_shard([]) == []
+
+
+def test_console_entry_points_resolve():
+    """Every [project.scripts] target in pyproject.toml must import and be
+    callable — guards the packaging contract against CLI renames."""
+    import importlib
+    import re
+    from pathlib import Path
+
+    toml = (Path(__file__).resolve().parents[1] / "pyproject.toml").read_text()
+    block = toml.split("[project.scripts]", 1)[1].split("[", 1)[0]
+    targets = re.findall(r'=\s*"([\w.]+):(\w+)"', block)
+    assert len(targets) == 16, targets
+    for mod_name, fn_name in targets:
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        assert callable(fn), (mod_name, fn_name)
