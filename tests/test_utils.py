@@ -81,3 +81,37 @@ def test_console_entry_points_resolve():
     for mod_name, fn_name in targets:
         fn = getattr(importlib.import_module(mod_name), fn_name)
         assert callable(fn), (mod_name, fn_name)
+
+
+def test_sr_config_validation_guards():
+    """Pin the SRTrainConfig argument guards (flag-parity with the reference
+    trainer's own validation, train_adaptive_unet.py:383-404): each bad value
+    must raise with a message naming the field."""
+    import pytest
+
+    from adunet.configs import SRTrainConfig
+
+    def ok(**kw):
+        kw.setdefault("scale", 0.5)
+        return SRTrainConfig(**kw)
+
+    ok()  # the baseline construction is valid
+
+    bad = [
+        (dict(scale=0.0), "scale"),
+        (dict(scale=1.0), "scale"),
+        (dict(patch_size=0), "patch_size"),
+        (dict(patches_per_image=0), "patches_per_image"),
+        (dict(eval_stride=0), "eval_stride"),
+        (dict(shuffle_buffer=-1), "shuffle_buffer"),
+        (dict(max_depth=0), "max_depth"),
+        (dict(initial_epoch=-1), "initial_epoch"),
+        (dict(initial_epoch=100), "initial_epoch"),   # >= epochs (default 100)
+        (dict(grad_accum=0), "grad_accum"),
+        (dict(grad_accum=3, batch_size=4), "grad_accum"),
+        (dict(val_split=-0.1), "val_split"),
+        (dict(val_split=0.6, test_split=0.5), "val_split"),
+    ]
+    for kw, needle in bad:
+        with pytest.raises(ValueError, match=needle):
+            ok(**kw)
