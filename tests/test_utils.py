@@ -93,9 +93,11 @@ def test_sr_config_validation_guards():
 
     def ok(**kw):
         kw.setdefault("scale", 0.5)
-        return SRTrainConfig(**kw)
+        cfg = SRTrainConfig(**kw)
+        cfg.validate()  # guards live in validate(), invoked by the CLI
+        return cfg
 
-    ok()  # the baseline construction is valid
+    ok()  # the baseline config is valid
 
     bad = [
         (dict(scale=0.0), "scale"),
