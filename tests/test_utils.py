@@ -117,3 +117,25 @@ def test_sr_config_validation_guards():
     for kw, needle in bad:
         with pytest.raises(ValueError, match=needle):
             ok(**kw)
+
+
+def test_seg_config_protocol_resolution():
+    """resolved() must apply the protocol preset only where the user left the
+    field at its sentinel (0 / None) — explicit overrides always win
+    (reference protocol table, Segmenation trainer :370-403)."""
+    import pytest
+
+    from adunet.configs import PROTOCOLS, SegTrainConfig
+
+    a = SegTrainConfig(protocol="A").resolved()
+    assert (a.epochs, a.batch_size, a.patience) == (
+        PROTOCOLS["A"].epochs, PROTOCOLS["A"].batch_size,
+        PROTOCOLS["A"].early_stopping_patience,
+    )
+
+    # explicit values survive resolution, including patience=0 (not None)
+    o = SegTrainConfig(protocol="B", epochs=7, batch_size=2, patience=0).resolved()
+    assert (o.epochs, o.batch_size, o.patience) == (7, 2, 0)
+
+    with pytest.raises(KeyError):
+        SegTrainConfig(protocol="Z").resolved()
