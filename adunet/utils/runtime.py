@@ -26,6 +26,19 @@ def setup_runtime() -> None:
     except Exception:
         pass
 
+    # The image's sitecustomize force-registers the remote-TPU plugin and
+    # sets jax_platforms='axon,cpu' at interpreter startup, overriding the
+    # JAX_PLATFORMS env var. Re-apply the user's explicit choice here (before
+    # backend init) so `JAX_PLATFORMS=cpu python bench.py` really runs on CPU.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     if os.environ.get("ADUNET_NO_COMPILE_CACHE") == "1":
         return
     cache_dir = os.environ.get(

@@ -34,11 +34,22 @@ from pathlib import Path
 import numpy as np
 
 BASELINE_IMGS_PER_SEC = 9.0  # BASELINE.md scale-0.5 row (bs 4 / 445 ms/step)
-STEPS_SHORT = 5
-STEPS_LONG = 25
-HOST_FEED_STEPS = 20
-HOST_FEED_IMAGES = 24
-HOST_FEED_IMAGE_PX = 512
+
+# ADUNET_BENCH_SMOKE=1 shrinks every program (64px, tiny scans/corpus) so the
+# full bench code path can be validated on CPU without the chip (wall time is
+# compile-bound — minutes per program on a small host). The emitted numbers
+# are then meaningless; the JSON gains a "smoke": true marker so they can
+# never be mistaken for results.
+import os as _os
+
+SMOKE = _os.environ.get("ADUNET_BENCH_SMOKE") == "1"
+PX = 64 if SMOKE else 256
+STEPS_SHORT = 2 if SMOKE else 5
+STEPS_LONG = 6 if SMOKE else 25
+HOST_FEED_STEPS = 4 if SMOKE else 20
+HOST_FEED_IMAGES = 6 if SMOKE else 24
+HOST_FEED_IMAGE_PX = 128 if SMOKE else 512
+BATCH_CANDIDATES = (4,) if SMOKE else (32, 16, 8)
 
 
 def main() -> None:
@@ -81,13 +92,13 @@ def main() -> None:
     from adunet.ops import degrade
 
     model, _ = build_super_resolution_unet(
-        scale=0.5, depth_override=3, input_size=256, dtype=jnp.bfloat16
+        scale=0.5, depth_override=3, input_size=PX, dtype=jnp.bfloat16
     )
     loss_fn, _ = build_losses_and_metrics("charbonnier")
 
     def one_step(state, rng, batch_size):
-        hr_batch = jax.random.uniform(rng, (batch_size, 256, 256, 3), dtype=jnp.float32)
-        lr_batch = degrade(hr_batch, DATA_LR_SHRINK, 256)
+        hr_batch = jax.random.uniform(rng, (batch_size, PX, PX, 3), dtype=jnp.float32)
+        lr_batch = degrade(hr_batch, DATA_LR_SHRINK, PX)
 
         def compute_loss(params):
             pred = state.apply_fn({"params": params}, lr_batch)
@@ -140,7 +151,7 @@ def main() -> None:
         state = create_train_state(
             model,
             jax.random.key(0),
-            jnp.zeros((1, 256, 256, 3)),
+            jnp.zeros((1, PX, PX, 3)),
             make_optimizer(1e-4),
         )
         return scan_diff_throughput(
@@ -171,13 +182,13 @@ def main() -> None:
                     paths.append(str(p))
 
             ds, _n = make_training_patch_dataset(
-                paths, patch_size=256, patches_per_image=8,
+                paths, patch_size=PX, patches_per_image=8,
                 scale=DATA_LR_SHRINK, batch_size=batch_size, seed=0,
                 shuffle_buffer=256,
                 output_dtype="uint8",  # wire format; normalised on device
             )
             state = create_train_state(
-                model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-4)
+                model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
             )
             step = make_sr_train_step(model, loss_fn)
 
@@ -196,7 +207,7 @@ def main() -> None:
                     st, metrics = step.__wrapped__(st, sub_batch, None)
                     return st, metrics["loss"]
 
-                sb = superbatch.reshape(CHUNK, batch_size, 256, 256, superbatch.shape[-1])
+                sb = superbatch.reshape(CHUNK, batch_size, PX, PX, superbatch.shape[-1])
                 return jax.lax.scan(body, state, sb)
 
             def assemble_superbatch():
@@ -235,7 +246,7 @@ def main() -> None:
 
     value = None
     last_err = None
-    for bs in (32, 16, 8):
+    for bs in BATCH_CANDIDATES:
         try:
             value = run_bench(bs)
             batch_used = bs
@@ -262,10 +273,10 @@ def main() -> None:
             cache = load_device_cache(paths)
 
         state = create_train_state(
-            model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-4)
+            model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
         )
         raw_step = make_sr_device_cache_train_step(
-            model, loss_fn, cache, patch_size=256, batch_size=batch_size, donate=False
+            model, loss_fn, cache, patch_size=PX, batch_size=batch_size, donate=False
         )
 
         def make_runner(n_steps):
@@ -293,7 +304,7 @@ def main() -> None:
         from adunet.train.sr import make_sr_eval_step
 
         state = create_train_state(
-            model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-4)
+            model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
         )
         estep = make_sr_eval_step(None, eval_scale=0.5, eval_shave=4)
 
@@ -302,7 +313,7 @@ def main() -> None:
             def run(state, rng):
                 def body(key, _):
                     key, sub = jax.random.split(key)
-                    hr = jax.random.uniform(sub, (batch_size, 256, 256, 3), jnp.float32)
+                    hr = jax.random.uniform(sub, (batch_size, PX, PX, 3), jnp.float32)
                     out = estep(state, hr)
                     return key, out["psnr_y"].sum()
 
@@ -313,7 +324,7 @@ def main() -> None:
 
         return scan_diff_throughput(make_runner, state, jax.random.key(5), batch_size)
 
-    def run_seg_bench(batch_size: int = 32) -> float:
+    def run_seg_bench(batch_size: int = 4 if SMOKE else 32) -> float:
         """Protocol-A seg step (BatchNorm U-Net, hybrid CE+Dice, on-device
         augmentation) — the second workload's on-chip throughput. The
         reference has no checked-in seg timing baseline (SURVEY §6), so this
@@ -322,9 +333,9 @@ def main() -> None:
         from adunet.models import build_adaptive_depth_unet
         from adunet.train import make_seg_train_step
 
-        seg_model = build_adaptive_depth_unet(256, base_channels=64, depth=4, dtype=jnp.bfloat16)
+        seg_model = build_adaptive_depth_unet(PX, base_channels=64, depth=4, dtype=jnp.bfloat16)
         seg_state = create_train_state(
-            seg_model, jax.random.key(0), jnp.zeros((1, 256, 256, 3)), make_optimizer(1e-3)
+            seg_model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-3)
         )
         raw_step = make_seg_train_step(
             seg_model, make_hybrid_ce_dice_loss(0.4, 0.6), augment=True, donate=False
@@ -336,8 +347,8 @@ def main() -> None:
                 def body(carry, _):
                     st, key = carry
                     key, k1, k2, k3 = jax.random.split(key, 4)
-                    images = jax.random.uniform(k1, (batch_size, 256, 256, 3), jnp.float32)
-                    masks = (jax.random.uniform(k2, (batch_size, 256, 256, 1)) > 0.5).astype(jnp.float32)
+                    images = jax.random.uniform(k1, (batch_size, PX, PX, 3), jnp.float32)
+                    masks = (jax.random.uniform(k2, (batch_size, PX, PX, 1)) > 0.5).astype(jnp.float32)
                     st, metrics = raw_step.__wrapped__(st, (images, masks), k3)
                     return (st, key), metrics["loss"]
 
@@ -350,6 +361,7 @@ def main() -> None:
 
     payload = {
         "metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px",
+        **({"smoke": True} if SMOKE else {}),
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(value / BASELINE_IMGS_PER_SEC, 2),
