@@ -244,12 +244,6 @@ def train(cfg) -> dict:
         )
     accum = getattr(cfg, "grad_accum", 1) or 1
     if accum > 1:
-        if cfg.device_cache:
-            raise ValueError(
-                "--grad_accum is incompatible with --device_cache (the cache "
-                "step samples its own batch); lower --batch_size instead — "
-                "sampling is free, so micro-batching buys nothing there."
-            )
         if cfg.batch_size % (accum * local_dp) != 0:
             raise ValueError(
                 f"batch_size={cfg.batch_size} must be divisible by "
@@ -408,11 +402,13 @@ def train(cfg) -> dict:
         # its batch globally inside the program, so it must sample the same
         # global size or multi-host runs would quietly train at 1/P batch
         global_batch = cfg.batch_size * jax.process_count()
+        accum = getattr(cfg, "grad_accum", 1) or 1
         train_step = make_sr_device_cache_train_step(
             model, loss_fn, cache,
             patch_size=cfg.patch_size, batch_size=global_batch,
             data_scale=degrade_scale,
             batch_sharding=_batch_sharding(mesh),
+            grad_accum=accum,
         )
         samples_per_step = cfg.batch_size  # per-process accounting, as streaming
 

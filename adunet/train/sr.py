@@ -309,6 +309,7 @@ def make_sr_device_cache_train_step(
     data_scale: float = DATA_LR_SHRINK,
     donate: bool = True,
     batch_sharding=None,
+    grad_accum: int = 1,
 ):
     """Train step sampling its own batch from a device-resident corpus.
 
@@ -318,22 +319,71 @@ def make_sr_device_cache_train_step(
     fit() drives it with a dummy batch iterator + samples_per_step.
     ``batch_sharding``: optional NamedSharding to spread the sampled batch
     over a mesh's data axis (GSPMD then distributes the whole step).
+
+    ``grad_accum=k`` keeps the effective batch at ``batch_size`` while only
+    ever materialising activations for ``batch_size/k`` samples: the full HR
+    batch is sampled up-front from the SAME key the k=1 step would use (a
+    (B, P, P, 3) pixel array — negligible next to one micro-batch's U-Net
+    activations), then degrade/forward/backward run per micro-batch under
+    lax.scan and ONE update applies the averaged gradients. Identical data
+    to the k=1 step with the same rng, so the update matches full-batch math
+    exactly up to float summation order. This is how the 138M deep configs
+    train from the device cache at large effective batches.
     """
     from adunet.data.device_cache import sample_patch_batch
+
+    if grad_accum < 1:
+        raise ValueError(f"grad_accum must be >= 1, got {grad_accum}.")
+    if batch_size % grad_accum:
+        raise ValueError(
+            f"batch_size={batch_size} is not divisible by grad_accum={grad_accum}."
+        )
 
     def step(state: TrainState, batch, rng: jax.Array):
         del batch  # the corpus lives on device; rng IS the data source
         hr_batch = sample_patch_batch(images_u8, rng, batch_size, patch_size)
-        if batch_sharding is not None:
-            hr_batch = jax.lax.with_sharding_constraint(hr_batch, batch_sharding)
-        lr_batch = degrade(hr_batch, data_scale, patch_size)
 
-        def compute_loss(params):
-            pred = state.apply_fn({"params": params}, lr_batch)
-            return sr_loss_and_metrics(loss_fn, hr_batch, pred)
+        if grad_accum == 1:
+            if batch_sharding is not None:
+                hr_batch = jax.lax.with_sharding_constraint(hr_batch, batch_sharding)
+            lr_batch = degrade(hr_batch, data_scale, patch_size)
 
-        (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+            def compute_loss(params):
+                pred = state.apply_fn({"params": params}, lr_batch)
+                return sr_loss_and_metrics(loss_fn, hr_batch, pred)
+
+            (loss, metrics), grads = jax.value_and_grad(compute_loss, has_aux=True)(state.params)
+            new_state = state.apply_gradients(grads=grads)
+            return new_state, {"loss": loss, **metrics}
+
+        micro = hr_batch.reshape(
+            (grad_accum, batch_size // grad_accum) + hr_batch.shape[1:]
+        )
+
+        def micro_loss(params, hr_mb):
+            if batch_sharding is not None:
+                hr_mb = jax.lax.with_sharding_constraint(hr_mb, batch_sharding)
+            lr_mb = degrade(hr_mb, data_scale, patch_size)
+            pred = state.apply_fn({"params": params}, lr_mb)
+            return sr_loss_and_metrics(loss_fn, hr_mb, pred)
+
+        def body(acc, hr_mb):
+            (loss, metrics), grads = jax.value_and_grad(micro_loss, has_aux=True)(
+                state.params, hr_mb
+            )
+            acc_g, acc_s = acc
+            acc_g = jax.tree_util.tree_map(lambda a, g: a + g, acc_g, grads)
+            scalars = {"loss": loss, **metrics}
+            acc_s = jax.tree_util.tree_map(
+                lambda a, s: a + s.astype(jnp.float32), acc_s, scalars
+            )
+            return (acc_g, acc_s), None
+
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+        zero_s = {"loss": jnp.zeros((), jnp.float32), "psnr": jnp.zeros((), jnp.float32)}
+        (grads, sums), _ = jax.lax.scan(body, (zero_g, zero_s), micro)
+        grads = jax.tree_util.tree_map(lambda g: g / grad_accum, grads)
         new_state = state.apply_gradients(grads=grads)
-        return new_state, {"loss": loss, **metrics}
+        return new_state, {k: v / grad_accum for k, v in sums.items()}
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -334,11 +334,11 @@ def test_train_sr_device_cache(tiny_dataset, tmp_path):
         "--scale", "0.5", "--depth_override", "1",
         "--base_channels", "8", "--residual_head_channels", "8",
         "--patch_size", "32", "--patches_per_image", "2",
-        "--batch_size", "8", "--epochs", "2", "--patience", "5",
+        "--batch_size", "16", "--epochs", "2", "--patience", "5",
         "--high_res_dir", str(tiny_dataset), "--image_suffix", ".npy",
         "--model_dir", str(tmp_path / "models"), "--log_dir", str(log_dir),
         "--run_name", "devcache", "--seed", "7",
-        "--device_cache",
+        "--device_cache", "--grad_accum", "2",
     ])
     rows = (log_dir / "devcache" / "epoch_metrics.csv").read_text().strip().splitlines()
     assert len(rows) == 3

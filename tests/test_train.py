@@ -881,6 +881,52 @@ def test_grad_accum_rejects_indivisible_batch():
         step(state, jnp.asarray(_synthetic_hr(n=16)), None)
 
 
+def test_device_cache_grad_accum_matches_full_batch_step(perturb_params):
+    """The device-cache step with grad_accum=k samples the SAME full batch
+    from the same key as the k=1 step (sampling happens before the
+    micro-split), so its single averaged update must equal the full-batch
+    update — this is what lets the 138M configs train from the HBM corpus at
+    large effective batches (CLAUDE.md previously declared the combination
+    incompatible)."""
+    from adunet.train.sr import make_sr_device_cache_train_step
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=16, base_channels=8
+    )
+    corpus = jnp.asarray(
+        (np.random.default_rng(3).random((5, 24, 24, 3)) * 255).astype(np.uint8)
+    )
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+
+    def fresh():
+        state = create_train_state(
+            model, jax.random.key(0), jnp.zeros((1, 16, 16, 3)), make_optimizer(1e-3)
+        )
+        return state.replace(params=perturb_params(state.params))
+
+    kwargs = dict(patch_size=16, batch_size=8, donate=False)
+    full = make_sr_device_cache_train_step(model, loss_fn, corpus, **kwargs)
+    accum = make_sr_device_cache_train_step(
+        model, loss_fn, corpus, grad_accum=4, **kwargs
+    )
+
+    rng = jax.random.key(11)
+    s_full, m_full = full(fresh(), None, rng)
+    s_acc, m_acc = accum(fresh(), None, rng)
+
+    np.testing.assert_allclose(float(m_acc["loss"]), float(m_full["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m_acc["psnr"]), float(m_full["psnr"]), rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s_acc.params), jax.tree_util.tree_leaves(s_full.params)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=5e-5, atol=5e-6)
+
+    with pytest.raises(ValueError, match="divisible"):
+        make_sr_device_cache_train_step(
+            model, loss_fn, corpus, grad_accum=3, **kwargs
+        )
+
+
 def test_reduce_lr_on_plateau_matches_keras_callback():
     """Drive Keras's ACTUAL ReduceLROnPlateau callback and our plateau_update
     over the same randomized metric sequences: the produced LR schedule must
