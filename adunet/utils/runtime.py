@@ -4,7 +4,25 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["setup_runtime"]
+__all__ = ["setup_runtime", "host_fingerprint"]
+
+
+def host_fingerprint() -> str:
+    """Short stable id of this host's CPU feature set (for cache dirs)."""
+    import hashlib
+    import platform
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    basis = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+            else:
+                basis = platform.machine()
+    except OSError:
+        basis = platform.machine()
+    return hashlib.sha1(basis.encode()).hexdigest()[:10]
 
 
 def setup_runtime() -> None:
@@ -44,6 +62,12 @@ def setup_runtime() -> None:
     cache_dir = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/adunet_xla_cache")
     )
+    if env_platforms and "cpu" in env_platforms.split(","):
+        # XLA:CPU cache entries embed the compiling host's AVX/AMX feature
+        # set but the cache KEY does not — an entry written on one machine
+        # loads on another with only a may-SIGILL warning. Session hosts
+        # vary, so CPU runs get a per-host-fingerprint cache dir.
+        cache_dir = f"{cache_dir}_{host_fingerprint()}"
     # This image's sitecustomize imports jax at interpreter startup, so the
     # env vars are read before any user code runs — set the config directly.
     import jax

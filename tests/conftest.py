@@ -24,7 +24,14 @@ import jax  # noqa: E402
 
 # Persistent compile cache cuts repeat-run times substantially. The image's
 # sitecustomize imports jax before env vars can bind, so set config directly.
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_test_cache")
+# Keyed by host CPU fingerprint: XLA:CPU AOT entries embed the compiling
+# host's vector-feature set but the cache key does not, and session hosts
+# vary — a foreign entry loads with only a may-SIGILL warning.
+from adunet.utils.runtime import host_fingerprint  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir", f"/root/.cache/jax_test_cache_{host_fingerprint()}"
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 # The image's sitecustomize registers the 'axon' remote-TPU plugin and calls
