@@ -515,9 +515,20 @@ def fit(
                 )
 
         if restore_best_weights and best_params_host is not None:
-            state = state.replace(params=jax.device_put(best_params_host))
+            # restore onto each leaf's CURRENT sharding: a bare device_put
+            # would collapse replicated (or model-sharded) params onto the
+            # default device — wrong placement for the post-fit eval/save
+            # path, and a full 138M tree on one chip for the TP configs
+            def _put_like(host_tree, live_tree):
+                return jax.tree_util.tree_map(
+                    lambda h, l: jax.device_put(h, l.sharding), host_tree, live_tree
+                )
+
+            state = state.replace(params=_put_like(best_params_host, state.params))
             if best_stats_host is not None:
-                state = state.replace(batch_stats=jax.device_put(best_stats_host))
+                state = state.replace(
+                    batch_stats=_put_like(best_stats_host, state.batch_stats)
+                )
 
     finally:
         # close on EVERY exit path, not just the clean one (rows flush per

@@ -444,6 +444,42 @@ def test_fit_sharded_val_end_to_end():
             np.testing.assert_allclose(a[k], b[k], rtol=5e-5, err_msg=k)
 
 
+def test_fit_restore_best_preserves_sharding():
+    """restore_best_weights must re-place the best host snapshot onto each
+    leaf's LIVE sharding — a bare device_put would collapse a replicated
+    (or model-sharded) state onto one device after fit()."""
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8
+    )
+    hr = _synthetic_hr(n=16)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    mesh = make_mesh(8)
+    state = replicate(
+        create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3)),
+        mesh,
+    )
+    tstep = make_sr_train_step(model, loss_fn, donate=False)
+    vstep = make_sr_val_step(model, loss_fn, per_sample=True)
+    res = fit(
+        state,
+        _loop(hr, 8),
+        tstep,
+        steps_per_epoch=1,
+        epochs=2,
+        val_data=[hr[:8]],
+        val_step=vstep,
+        mesh=mesh,
+        verbose=0,
+        val_per_sample=True,
+        restore_best_weights=True,
+    )
+    assert res.best_epoch is not None
+    ref = jax.tree_util.tree_leaves(state.params)[0].sharding
+    assert getattr(ref, "mesh", None) is not None  # replicated, not single-device
+    for leaf in jax.tree_util.tree_leaves(res.state.params):
+        assert leaf.sharding == ref, (leaf.sharding, ref)
+
+
 def test_sharded_val_inf_metric_survives_padding():
     """A legitimate +inf per-sample val metric (inf PSNR on identical shaved
     patches is preserved throughout this codebase) must NOT become NaN when
