@@ -79,6 +79,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--uint8_feed", action="store_true",
                         help="Stream HR patches as uint8 and normalise on device "
                              "(4x less host->device traffic; exact for uint8 sources).")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="Decode each training image once and keep its pixels in host "
+                             "RAM across epoch passes (tf.data .cache() equivalent) — for "
+                             "decode-bound hosts; corpus must fit host RAM.")
     parser.add_argument("--device_cache", action="store_true",
                         help="Cache the whole (uniform-size) training corpus in HBM as uint8 "
                              "and sample random patches inside the jitted step — zero "
@@ -183,6 +187,7 @@ def train(cfg) -> dict:
             seed=data_seed,
             shuffle_buffer=cfg.shuffle_buffer,
             output_dtype="uint8" if cfg.uint8_feed else "float32",
+            cache_decoded=cfg.cache_decoded,
         )
         steps_per_epoch = math.ceil(train_patch_count / cfg.batch_size)
 

@@ -85,6 +85,10 @@ class SRTrainConfig:
     vgg19_npz: Optional[str] = None
     # stream HR patches as uint8, normalising to [0,1] f32 on device
     uint8_feed: bool = False
+    # decode each training image once and keep pixels in host RAM across
+    # epoch passes (tf.data .cache() equivalent) — lifts decode-bound hosts
+    # to the transfer/compute bound
+    cache_decoded: bool = False
     # cache the whole (uniform-size) corpus in HBM; sample patches on device
     device_cache: bool = False
     # overlap per-epoch checkpoint writes with the next epoch's compute

@@ -462,3 +462,39 @@ def test_scale_jitter_crop_fuzz_vs_tf():
             ours, theirs, atol=3e-6,
             err_msg=f"jitter size={size} scaled={scaled} off=({oy},{ox})",
         )
+
+
+def test_cache_decoded_stream_identical_and_decodes_once(png_dataset, monkeypatch):
+    """cache_decoded must not change a single yielded byte, and must hit the
+    decoder exactly once per file regardless of how many epoch passes the
+    infinite stream makes."""
+    import adunet.data.sr_pipeline as sp
+
+    files = find_images(png_dataset, ".png")
+    kwargs = dict(patch_size=32, patches_per_image=2, scale=0.5,
+                  batch_size=4, seed=3, shuffle_buffer=8)
+    # 4 files x 2 patches = 8/pass; 12 batches of 4 = 6 passes
+    plain = TrainingPatchDataset(files, **kwargs)
+    it = iter(plain)
+    want = [next(it) for _ in range(12)]
+
+    calls = []
+    real = sp.load_rgb_image_full
+
+    def counting_loader(path):
+        calls.append(path)
+        return real(path)
+
+    monkeypatch.setattr(sp, "load_rgb_image_full", counting_loader)
+    cached = TrainingPatchDataset(files, cache_decoded=True, **kwargs)
+    it = iter(cached)
+    got = [next(it) for _ in range(12)]
+
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+    # single-threaded-consumer decode window may race the same file at most
+    # once per worker on the first pass; with 4 files and 6 passes an
+    # uncached loader would show >=24 calls
+    assert len(calls) <= len(files) * 2
+    assert set(calls) == set(str(f) for f in files)
+    assert len(cached._decoded_cache) == len(files)
