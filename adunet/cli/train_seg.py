@@ -47,6 +47,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--async_checkpoint", action="store_true",
                         help="Overlap per-epoch checkpoint writes with the next epoch's "
                              "compute (Orbax async save; restores barrier first).")
+    parser.add_argument("--cache_decoded", action="store_true",
+                        help="Decode+resize each (image, mask) pair once and keep it in "
+                             "host RAM across epochs (tf.data .cache() equivalent) — for "
+                             "decode-bound hosts; corpus must fit host RAM.")
     return parser.parse_args(argv)
 
 
@@ -96,6 +100,7 @@ def train(cfg) -> dict:
         seed=cfg.seed,
         limit=cfg.limit,
         shard_across_processes=True,
+        cache_decoded=cfg.cache_decoded,
     )
     val_ds, val_count = build_isic_dataset(
         cfg.val_images,
@@ -106,6 +111,7 @@ def train(cfg) -> dict:
         shuffle=False,
         seed=cfg.seed,
         limit=cfg.limit,
+        cache_decoded=cfg.cache_decoded,
     )
     steps_per_epoch = math.ceil(train_count / cfg.batch_size)
 

@@ -210,6 +210,9 @@ class SegTrainConfig:
     precise_bn: int = 0
     # overlap per-epoch checkpoint writes with the next epoch's compute
     async_checkpoint: bool = False
+    # decode+resize each (image, mask) pair once, keep in host RAM across
+    # epochs (tf.data .cache() equivalent) — for decode-bound hosts
+    cache_decoded: bool = False
 
     def resolved(self) -> "SegTrainConfig":
         proto = PROTOCOLS[self.protocol]

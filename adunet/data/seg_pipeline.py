@@ -47,6 +47,7 @@ class SegPairDataset:
         drop_remainder: bool = False,
         pad_tail: bool = False,
         image_interp: str = "area",
+        cache_decoded: bool = False,
     ):
         pairs = list(pairs)
         if not pairs:
@@ -77,6 +78,13 @@ class SegPairDataset:
         # second batch shape would force a recompile anyway. Single-device
         # runs keep the reference's ragged-tail semantics by default.
         self.pad_tail = pad_tail and not drop_remainder
+        # tf.data .cache() equivalent: each (image, mask) pair is decoded +
+        # resized once, then served from host RAM for every later epoch —
+        # the per-epoch passes otherwise re-decode the whole corpus (ISIC
+        # train at 256px ≈ 2 GB decoded: host-RAM scale). Arrays are
+        # treated as immutable downstream (np.stack copies at batching).
+        self.cache_decoded = cache_decoded
+        self._decoded_cache: dict = {}
         self._epoch = 0
         if self.drop_remainder:
             self.steps_per_epoch = len(pairs) // batch_size
@@ -87,10 +95,20 @@ class SegPairDataset:
         return len(self.pairs)
 
     def _load_pair(self, image_path: str, mask_path: str) -> Tuple[np.ndarray, np.ndarray]:
+        if self.cache_decoded:
+            hit = self._decoded_cache.get((image_path, mask_path))
+            if hit is not None:
+                return hit
         image = load_rgb_image(image_path, self.image_size, interp=self.image_interp)
         if self.num_classes > 1:
-            return image, load_label_mask(mask_path, self.image_size, self.num_classes)
-        return image, load_mask(mask_path, self.image_size)
+            pair = image, load_label_mask(mask_path, self.image_size, self.num_classes)
+        else:
+            pair = image, load_mask(mask_path, self.image_size)
+        if self.cache_decoded:
+            # racing decode threads may fill the same key once each on the
+            # first pass; identical pixels, so no lock needed (GIL-atomic)
+            self._decoded_cache[(image_path, mask_path)] = pair
+        return pair
 
     def _batches(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         order = np.arange(len(self.pairs))
@@ -180,6 +198,7 @@ def build_isic_dataset(
     limit: Optional[int] = None,
     shard_across_processes: bool = False,
     pad_tail: bool = False,
+    cache_decoded: bool = False,
 ) -> Tuple[SegPairDataset, int]:
     """Signature-parity constructor (Segmenation trainer :193-219).
 
@@ -203,6 +222,7 @@ def build_isic_dataset(
         shuffle=shuffle,
         seed=seed,
         pad_tail=pad_tail,
+        cache_decoded=cache_decoded,
     )
     # consumers that must agree across processes (e.g. precise-BN refresh
     # batches, which are mesh-replicated) select from the pre-shard list

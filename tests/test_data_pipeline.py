@@ -498,3 +498,41 @@ def test_cache_decoded_stream_identical_and_decodes_once(png_dataset, monkeypatc
     assert len(calls) <= len(files) * 2
     assert set(calls) == set(str(f) for f in files)
     assert len(cached._decoded_cache) == len(files)
+
+
+def test_seg_cache_decoded_identical_and_decodes_once(tmp_path, monkeypatch):
+    """SegPairDataset(cache_decoded=True): identical batches across epochs,
+    one decode per pair no matter how many epoch passes run."""
+    import adunet.data.seg_pipeline as sp
+    from adunet.data.seg_pipeline import SegPairDataset
+
+    pairs = []
+    rng = np.random.default_rng(7)
+    for i in range(6):
+        img, msk = tmp_path / f"i{i}.npy", tmp_path / f"i{i}_mask.npy"
+        np.save(img, rng.random((8, 8, 3)).astype(np.float32))
+        np.save(msk, (rng.random((8, 8)) > 0.5).astype(np.float32))
+        pairs.append((str(img), str(msk)))
+
+    kwargs = dict(batch_size=3, image_size=8, augment=False, shuffle=True, seed=0)
+    plain = SegPairDataset(pairs, **kwargs)
+    want = [list(plain) for _ in range(3)]  # 3 epoch passes, per-epoch shuffles
+
+    calls = []
+    real = sp.load_rgb_image
+
+    def counting(path, size, interp="area"):
+        calls.append(path)
+        return real(path, size, interp=interp)
+
+    monkeypatch.setattr(sp, "load_rgb_image", counting)
+    cached = SegPairDataset(pairs, cache_decoded=True, **kwargs)
+    got = [list(cached) for _ in range(3)]
+
+    for epoch_w, epoch_g in zip(want, got):
+        for (wi, wm), (gi, gm) in zip(epoch_w, epoch_g):
+            np.testing.assert_array_equal(wi, gi)
+            np.testing.assert_array_equal(wm, gm)
+    # decode-window races may duplicate a first-pass decode; never 3 epochs' worth
+    assert len(calls) <= len(pairs) * 2
+    assert len(cached._decoded_cache) == len(pairs)
