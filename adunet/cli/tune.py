@@ -29,6 +29,10 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--results", type=Path, default=Path("runs/tune_results.json"))
     parser.add_argument("--pruner", choices=["median", "hyperband", "none"], default="median")
     parser.add_argument("--sampler", choices=["tpe", "random"], default="tpe")
+    parser.add_argument("--parallel-trials", type=int, default=1,
+                        help="Evaluate this many trials simultaneously as vmapped lanes "
+                             "sharded over the device mesh (SR workload; built-in engine "
+                             "with constant-liar batched TPE asks). 1 = sequential.")
     parser.add_argument("--retrain", action="store_true",
                         help="Retrain the best config after the study and save the model "
                              "(reference train_final_model, u_net_vanilla_optuna.py:209-250).")
@@ -133,13 +137,42 @@ def _sr_objective_factory(args):
                     raise TrialPruned()
         return best
 
+    def suggest_params(trial) -> dict:
+        """Reference search space; shared by the sequential objective and the
+        mesh-parallel ask_batch path (identical suggest order matters: the
+        sampler's per-trial RNG stream is positional)."""
+        return {
+            "lr": trial.suggest_float("lr", 1e-5, 5e-3, log=True),
+            "alpha": trial.suggest_float("alpha", 0.5, 2.0),
+            "beta": trial.suggest_float("beta", 1e-3, 0.5, log=True),
+            "gamma": trial.suggest_float("gamma", 1e-4, 0.1, log=True),
+            "batch_size": trial.suggest_categorical("batch_size", [4, 8, 16]),
+        }
+
     def objective(trial) -> float:
-        lr_rate = trial.suggest_float("lr", 1e-5, 5e-3, log=True)
-        alpha = trial.suggest_float("alpha", 0.5, 2.0)
-        beta = trial.suggest_float("beta", 1e-3, 0.5, log=True)
-        gamma = trial.suggest_float("gamma", 1e-4, 0.1, log=True)
-        batch_size = trial.suggest_categorical("batch_size", [4, 8, 16])
-        return run_config(lr_rate, alpha, beta, gamma, batch_size, args.epochs, trial=trial)
+        p = suggest_params(trial)
+        return run_config(p["lr"], p["alpha"], p["beta"], p["gamma"],
+                          p["batch_size"], args.epochs, trial=trial)
+
+    def make_runner():
+        """Mesh-parallel trial runner over the same data/split/seed/model."""
+        from adunet.parallel import make_mesh
+        from adunet.tune import BatchedVanillaSRTuner
+
+        mesh = None
+        if jax.device_count() > 1:
+            # mesh no wider than the ask width: lanes are padded UP to a
+            # mesh-divisible count, so an 8-device mesh under a 2-trial ask
+            # would burn 6 padded lanes
+            mesh = make_mesh(
+                n_devices=min(jax.device_count(), args.parallel_trials),
+                axis_names=("trial",),
+            )
+        return BatchedVanillaSRTuner(
+            lr_images, hr_images, tr_idx, va_idx,
+            base_channels=args.sr_base_channels, seed=args.seed,
+            perceptual_fn=perceptual_fn, mesh=mesh,
+        )
 
     def retrain(best_params) -> dict:
         final_epochs = args.final_epochs or 2 * args.epochs
@@ -154,7 +187,7 @@ def _sr_objective_factory(args):
         ckpt.close()
         return {"final_val_loss": best, "checkpoint": str(ckpt_dir)}
 
-    return objective, "minimize", retrain
+    return objective, "minimize", retrain, (suggest_params, make_runner)
 
 
 def _seg_objective_factory(args):
@@ -248,7 +281,36 @@ def _seg_objective_factory(args):
         ckpt.close()
         return {"final_val_dice": best, "checkpoint": str(ckpt_dir)}
 
-    return objective, "maximize", retrain
+    return objective, "maximize", retrain, None
+
+
+def run_parallel_study(study, args, suggest_params, make_runner) -> None:
+    """Drive the study in mesh-parallel trial batches.
+
+    Each round asks ``--parallel-trials`` configs at once (constant-liar
+    batched TPE, Study.ask_batch), groups them by the one shape-affecting
+    parameter (batch size), and trains each group as vmapped lanes sharded
+    over the device mesh (adunet.tune.parallel). The sequential objective's
+    value is the val-loss curve minimum; the per-epoch curve is recorded as
+    the trial's intermediate values so the results payload is
+    shape-compatible with sequential studies.
+    """
+    from adunet.tune import group_trials_by
+
+    runner = make_runner()
+    remaining = args.n_trials
+    while remaining > 0:
+        k = min(args.parallel_trials, remaining)
+        asked = study.ask_batch(suggest_params, k)
+        for batch_size, group in group_trials_by(asked, "batch_size").items():
+            curves = runner.run_group(
+                [t.params for t in group], int(batch_size), args.epochs
+            )
+            for trial, curve in zip(group, curves):
+                for epoch, value in enumerate(curve):
+                    trial.report(value, epoch)
+                study.tell(trial, min(curve))
+        remaining -= k
 
 
 def main(argv: Optional[List[str]] = None) -> None:
@@ -259,20 +321,37 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     from adunet.tune import create_study
 
+    if args.parallel_trials < 1:
+        raise ValueError("--parallel-trials must be >= 1")
     if args.workload == "sr":
         if not args.high_res_dir:
             raise ValueError("--high-res-dir is required for --workload sr")
-        objective, direction, retrain = _sr_objective_factory(args)
+        objective, direction, retrain, parallel_support = _sr_objective_factory(args)
     else:
         for flag in ("train_images", "train_masks", "val_images", "val_masks"):
             if not getattr(args, flag):
                 raise ValueError(f"--{flag.replace('_', '-')} is required for --workload seg")
-        objective, direction, retrain = _seg_objective_factory(args)
+        objective, direction, retrain, parallel_support = _seg_objective_factory(args)
 
-    study = create_study(
-        direction=direction, seed=args.seed, pruner=args.pruner, sampler=args.sampler
-    )
-    study.optimize(objective, n_trials=args.n_trials)
+    if args.parallel_trials > 1:
+        if parallel_support is None:
+            raise ValueError(
+                "--parallel-trials > 1 is only supported for --workload sr "
+                "(the seg search space varies model shape per trial, which "
+                "cannot be stacked into vmap lanes)."
+            )
+        # the batched driver needs ask_batch/tell — built-in engine only
+        study = create_study(
+            direction=direction, seed=args.seed, pruner=args.pruner,
+            sampler=args.sampler, prefer_optuna=False,
+        )
+        suggest_params, make_runner = parallel_support
+        run_parallel_study(study, args, suggest_params, make_runner)
+    else:
+        study = create_study(
+            direction=direction, seed=args.seed, pruner=args.pruner, sampler=args.sampler
+        )
+        study.optimize(objective, n_trials=args.n_trials)
 
     args.results.parent.mkdir(parents=True, exist_ok=True)
     import json

@@ -281,6 +281,57 @@ class Study:
 
         return False  # pruner == "none"
 
+    # ---- ask/tell API (optuna-compatible split of optimize's loop body) ----
+
+    def ask(self) -> Trial:
+        """Create, register and return the next trial.
+
+        The trial's parameters are drawn lazily: each ``trial.suggest_*``
+        call consults the sampler against the study's state at that moment.
+        """
+        trial = Trial(
+            number=len(self.trials),
+            _rng=random.Random(self.seed * 1_000_003 + len(self.trials)),
+            _study=self,
+        )
+        self.trials.append(trial)
+        return trial
+
+    def tell(self, trial: Trial, value: Optional[float] = None, state: str = "COMPLETE") -> None:
+        """Record a trial's outcome (value for COMPLETE; PRUNED/FAIL otherwise)."""
+        if state == "COMPLETE":
+            if value is None:
+                raise ValueError("tell(state='COMPLETE') requires a value.")
+            trial.value = float(value)
+        trial.state = state
+
+    def ask_batch(self, suggest: Callable[[Trial], None], k: int) -> List[Trial]:
+        """Ask ``k`` trials at once for parallel evaluation.
+
+        Sequential TPE conditions each suggestion on all previous results;
+        a naive k-ask would give k near-identical candidates. The standard
+        fix is the constant-liar heuristic (Ginsbourger et al., batched
+        Bayesian optimisation): after suggesting each trial's parameters,
+        temporarily record the study's current best value for it, so the
+        sampler treats that region as already exploited and the remaining
+        asks diversify. The lies are removed before returning — the study's
+        persistent state only ever contains real results.
+        """
+        if k < 1:
+            raise ValueError("ask_batch needs k >= 1.")
+        lie = self.best_value if self.completed_trials else None
+        asked: List[Trial] = []
+        for _ in range(k):
+            trial = self.ask()
+            suggest(trial)
+            if lie is not None:
+                trial.value, trial.state = lie, "COMPLETE"  # temporary lie
+            asked.append(trial)
+        for trial in asked:  # retract the lies
+            if lie is not None:
+                trial.value, trial.state = None, "RUNNING"
+        return asked
+
     def optimize(
         self,
         objective: Callable[[Trial], float],
@@ -288,19 +339,13 @@ class Study:
         callbacks: Optional[List[Callable]] = None,
     ) -> None:
         for _ in range(n_trials):
-            trial = Trial(
-                number=len(self.trials),
-                _rng=random.Random(self.seed * 1_000_003 + len(self.trials)),
-                _study=self,
-            )
-            self.trials.append(trial)
+            trial = self.ask()
             try:
-                trial.value = float(objective(trial))
-                trial.state = "COMPLETE"
+                self.tell(trial, float(objective(trial)))
             except TrialPruned:
-                trial.state = "PRUNED"
+                self.tell(trial, state="PRUNED")
             except Exception:
-                trial.state = "FAIL"
+                self.tell(trial, state="FAIL")
                 raise
             for cb in callbacks or []:
                 cb(self, trial)
