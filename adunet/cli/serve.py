@@ -53,6 +53,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--max-body-mb", type=float, default=64.0,
                         help="Reject request bodies larger than this (HTTP 413). "
                              "Bounds per-request memory and batcher occupancy.")
+    parser.add_argument("--max-concurrent-requests", type=int, default=16,
+                        help="Predict requests admitted at once; beyond this the "
+                             "server replies 503 immediately. Bounds total server "
+                             "memory (ThreadingHTTPServer spawns one thread per "
+                             "connection, so without a cap a client burst holds "
+                             "an unbounded number of decoded bodies in RAM).")
     return parser.parse_args(argv)
 
 
@@ -169,7 +175,8 @@ def _decode_request(body: bytes, patch: int) -> np.ndarray:
 
 def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
                 batch_window_ms: float = 5.0,
-                max_body_bytes: int = 64 * 1024 * 1024) -> ThreadingHTTPServer:
+                max_body_bytes: int = 64 * 1024 * 1024,
+                max_concurrent_requests: int = 16) -> ThreadingHTTPServer:
     """Build (but do not start) the HTTP server; tests drive serve_forever
     from a thread, the CLI calls it directly."""
     from adunet.export import load_artifact
@@ -186,6 +193,11 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
         )
     batch, patch = int(manifest["input_shape"][0]), int(manifest["input_shape"][1])
     batcher = _Batcher(call, batch, batch_window_ms)
+    # admission control: each admitted predict request can hold up to
+    # max_body_bytes of body plus its decoded f32 copy in RAM while it waits
+    # on the batcher, and ThreadingHTTPServer imposes no connection cap of
+    # its own — so total predict memory is bounded only by this gate.
+    admission = threading.Semaphore(max(1, int(max_concurrent_requests)))
 
     class Handler(BaseHTTPRequestHandler):
         def _reply(self, code: int, payload: bytes, ctype: str) -> None:
@@ -210,6 +222,24 @@ def make_server(artifact_dir: str, host: str = "127.0.0.1", port: int = 0,
             if self.path != "/v1/predict":
                 self._reply_json(404, {"error": f"unknown path {self.path}"})
                 return
+            if not admission.acquire(blocking=False):
+                self.send_response(503)
+                self.send_header("Retry-After", "1")
+                payload = json.dumps({
+                    "error": f"server saturated ({max_concurrent_requests} "
+                             "concurrent predict requests in flight); retry."
+                }).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(payload)))
+                self.end_headers()
+                self.wfile.write(payload)
+                return
+            try:
+                self._do_predict()
+            finally:
+                admission.release()
+
+        def _do_predict(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
             except (TypeError, ValueError):
@@ -261,7 +291,8 @@ def main(argv: Optional[List[str]] = None) -> None:
 
     setup_runtime()
     server = make_server(args.artifact, args.host, args.port, args.batch_window_ms,
-                         max_body_bytes=int(args.max_body_mb * 1024 * 1024))
+                         max_body_bytes=int(args.max_body_mb * 1024 * 1024),
+                         max_concurrent_requests=args.max_concurrent_requests)
     b, p = server.manifest["input_shape"][0], server.manifest["input_shape"][1]
     print(f"[serve] artifact batch {b} x {p}px — http://{args.host}:{server.server_address[1]}", flush=True)
     try:

@@ -51,6 +51,12 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
                         help="Decode+resize each (image, mask) pair once and keep it in "
                              "host RAM across epochs (tf.data .cache() equivalent) — for "
                              "decode-bound hosts; corpus must fit host RAM.")
+    parser.add_argument("--no_val_device_cache", dest="val_device_cache",
+                        action="store_false",
+                        help="Do not keep prepared validation batches device-resident "
+                             "between epochs (default keeps them in HBM — right for "
+                             "ISIC-scale val sets; disable when the val set competes "
+                             "with a large model for device memory).")
     return parser.parse_args(argv)
 
 
@@ -191,7 +197,7 @@ def train(cfg) -> dict:
             snapshot_refresh_batches,
         )
 
-        refresh = make_bn_refresh_step(model)
+        refresh = make_bn_refresh_step()
         # The refresh inputs are un-augmented training images — identical
         # every epoch — so decode + device-transfer them ONCE and keep them
         # device-resident; each epoch then costs N jitted forwards. (A fused
@@ -229,9 +235,7 @@ def train(cfg) -> dict:
         tb_writer=tb_writer,
         val_per_sample=True,
         pre_val_hook=pre_val_hook,
-        # seg val sets are small (ISIC-scale: ~100 MB); keeping the prepared
-        # batches device-resident removes per-epoch decode+transfer
-        cache_val_on_device=True,
+        cache_val_on_device=cfg.val_device_cache,
     )
     state = result.state
 

@@ -213,6 +213,11 @@ class SegTrainConfig:
     # decode+resize each (image, mask) pair once, keep in host RAM across
     # epochs (tf.data .cache() equivalent) — for decode-bound hosts
     cache_decoded: bool = False
+    # keep prepared validation batches device-resident between epochs
+    # (removes per-epoch decode+transfer). On by default because seg val
+    # sets are small (ISIC-scale ~100 MB); disable when the val set
+    # competes with a large model for HBM.
+    val_device_cache: bool = True
 
     def resolved(self) -> "SegTrainConfig":
         proto = PROTOCOLS[self.protocol]

@@ -152,7 +152,7 @@ def metric_finalizers_of(extra_metrics: Dict[str, Callable] | None) -> Dict[str,
     }
 
 
-def make_bn_refresh_step(model, momentum: float | None = None):
+def make_bn_refresh_step(momentum: float | None = None):
     """One jitted accumulation step for precise-BN re-estimation.
 
     ``momentum`` defaults to the models' single-sourced BatchNorm momentum
@@ -289,7 +289,7 @@ def snapshot_refresh_batches(dataset, n_batches: int, put=None):
     return batches
 
 
-def make_precise_bn_program(model, momentum: float | None = None):
+def make_precise_bn_program(momentum: float | None = None):
     """Whole precise-BN re-estimation as ONE jitted program.
 
     ``run(state, stack)`` with ``stack`` of shape (N, B, H, W, C) scans the N

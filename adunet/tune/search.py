@@ -312,14 +312,21 @@ class Study:
         a naive k-ask would give k near-identical candidates. The standard
         fix is the constant-liar heuristic (Ginsbourger et al., batched
         Bayesian optimisation): after suggesting each trial's parameters,
-        temporarily record the study's current best value for it, so the
-        sampler treats that region as already exploited and the remaining
-        asks diversify. The lies are removed before returning — the study's
-        persistent state only ever contains real results.
+        temporarily record a *pessimistic* value for it (the worst completed
+        value — CL-max), so the lied parameters land in TPE's BAD group and
+        inflate g(x) there: candidates near an already-asked point score
+        lower on log l(x) - log g(x) and the remaining asks diversify.
+        (Lying with the BEST value would do the opposite — the lie would
+        join the top-gamma good group and ATTRACT the next asks.) The lies
+        are removed before returning — the study's persistent state only
+        ever contains real results.
         """
         if k < 1:
             raise ValueError("ask_batch needs k >= 1.")
-        lie = self.best_value if self.completed_trials else None
+        lie = None
+        if self.completed_trials:
+            values = [t.value for t in self.completed_trials]
+            lie = max(values) if self.direction == "minimize" else min(values)
         asked: List[Trial] = []
         for _ in range(k):
             trial = self.ask()

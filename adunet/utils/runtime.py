@@ -4,7 +4,53 @@ from __future__ import annotations
 
 import os
 
-__all__ = ["setup_runtime", "host_fingerprint"]
+__all__ = ["setup_runtime", "host_fingerprint", "honor_env_platforms", "first_contact_watchdog"]
+
+
+def honor_env_platforms() -> None:
+    """Re-apply the JAX_PLATFORMS env var over the image's sitecustomize.
+
+    The image force-registers the remote-TPU "axon" plugin and sets
+    ``jax_platforms='axon,cpu'`` at interpreter startup, overriding the env
+    var. Calling this before backend init restores the user's explicit
+    choice (``JAX_PLATFORMS=cpu`` really runs on CPU); no-op afterwards."""
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
+
+def first_contact_watchdog(limit_s: float = 900.0, extra_fields: dict | None = None):
+    """Turn a wedged PJRT device claim into a bounded, diagnosable failure.
+
+    Observed failure mode: the remote-TPU tunnel holding a stale grant
+    blocks PJRT client init inside ``make_c_api_client`` forever, with no
+    output. Arm this BEFORE the first device op; it prints one JSON error
+    line (merged over ``extra_fields``) and ``os._exit(17)``s if first
+    contact doesn't complete within ``limit_s``. Returns a zero-arg
+    ``disarm`` callable — call it right after the first tiny op finishes
+    (healthy first contact is seconds)."""
+    import json
+    import threading
+
+    contact = threading.Event()
+
+    def _watch() -> None:
+        if not contact.wait(limit_s):
+            payload = dict(extra_fields or {})
+            payload["error"] = (
+                f"device claim/first op did not complete within {limit_s:.0f}s "
+                "(backend init hang — see NOTES_ROUND3.md tunnel-outage entry)"
+            )
+            print(json.dumps(payload), flush=True)
+            os._exit(17)
+
+    threading.Thread(target=_watch, daemon=True).start()
+    return contact.set
 
 
 def host_fingerprint() -> str:
@@ -44,18 +90,8 @@ def setup_runtime() -> None:
     except Exception:
         pass
 
-    # The image's sitecustomize force-registers the remote-TPU plugin and
-    # sets jax_platforms='axon,cpu' at interpreter startup, overriding the
-    # JAX_PLATFORMS env var. Re-apply the user's explicit choice here (before
-    # backend init) so `JAX_PLATFORMS=cpu python bench.py` really runs on CPU.
+    honor_env_platforms()
     env_platforms = os.environ.get("JAX_PLATFORMS")
-    if env_platforms:
-        import jax
-
-        try:
-            jax.config.update("jax_platforms", env_platforms)
-        except Exception:
-            pass
 
     if os.environ.get("ADUNET_NO_COMPILE_CACHE") == "1":
         return

@@ -57,33 +57,17 @@ def main() -> None:
 
     setup_runtime()
 
-    # A wedged device claim (observed: the remote-TPU tunnel holding a stale
-    # grant blocks PJRT client init inside make_c_api_client forever, with
-    # no output) would hang this process silently. Arm a watchdog that turns
-    # that into a bounded, diagnosable failure line; disarmed right after
-    # the first tiny op completes on the device.
-    import os
-    import threading
+    from adunet.utils.runtime import first_contact_watchdog
 
-    first_contact = threading.Event()
-
-    def _watchdog(limit_s: float = 900.0) -> None:
-        if not first_contact.wait(limit_s):
-            print(json.dumps({
-                "metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px",
-                "error": f"device claim/first op did not complete within "
-                         f"{limit_s:.0f}s (backend init hang — see "
-                         f"NOTES_ROUND3.md tunnel-outage entry)",
-            }), flush=True)
-            os._exit(17)
-
-    threading.Thread(target=_watchdog, daemon=True).start()
+    disarm = first_contact_watchdog(
+        extra_fields={"metric": "sr_train_imgs_per_sec_scale0.5_depth3_256px"}
+    )
 
     import jax
     import jax.numpy as jnp
 
     jnp.ones((8, 8)).sum().block_until_ready()
-    first_contact.set()
+    disarm()
 
     from adunet.losses import build_losses_and_metrics
     from adunet.models import build_super_resolution_unet

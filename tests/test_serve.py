@@ -191,6 +191,63 @@ def test_predict_rejects_malformed_content_length(served):
         conn.close()
 
 
+def test_predict_saturation_returns_503(tmp_path):
+    """Beyond --max-concurrent-requests, predict must be refused with a 503
+    immediately — ThreadingHTTPServer has no connection cap of its own, so
+    without admission control a client burst holds an unbounded number of
+    decoded bodies in server RAM."""
+    import time
+    import urllib.error
+
+    import jax
+    import jax.numpy as jnp
+
+    from adunet.cli.serve import make_server
+    from adunet.export import export_sr_forward, save_artifact
+    from adunet.models import build_super_resolution_unet
+    from adunet.train import create_train_state, make_optimizer
+
+    model, _ = build_super_resolution_unet(
+        scale=0.5, depth_override=1, input_size=32, base_channels=8,
+        residual_head_channels=8,
+    )
+    state = create_train_state(
+        model, jax.random.key(0), jnp.zeros((1, 32, 32, 3)), make_optimizer(1e-4)
+    )
+    exported = export_sr_forward(state, patch_size=32, batch_size=4, platforms=("cpu",))
+    art = save_artifact(exported, tmp_path / "sat", meta={})
+
+    # one admission slot; the 1 s batch window keeps a single-image request
+    # (1 row in a batch of 4) holding that slot long enough to observe
+    server = make_server(str(art), port=0, batch_window_ms=1000.0,
+                         max_concurrent_requests=1)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{server.server_address[1]}"
+        x = np.random.default_rng(4).random((32, 32, 3), dtype=np.float32)
+        first = {}
+        t = threading.Thread(target=lambda: first.update(out=_post_npy(base + "/v1/predict", x)))
+        t.start()
+        # wait until the first request is ADMITTED (counted), not just sent
+        deadline = time.monotonic() + 10
+        while server.batcher.snapshot_stats()["requests"] < 1:
+            assert time.monotonic() < deadline, "first request never admitted"
+            time.sleep(0.01)
+        with pytest.raises(urllib.error.HTTPError) as err:
+            _post_npy(base + "/v1/predict", x)
+        assert err.value.code == 503
+        assert "saturated" in json.loads(err.value.read())["error"]
+        t.join(timeout=30)
+        assert first["out"].shape == (1, 32, 32, 3)  # admitted request unaffected
+        # the slot frees once the first request completes: admitted again
+        assert _post_npy(base + "/v1/predict", x).shape == (1, 32, 32, 3)
+    finally:
+        server.shutdown()
+        server.batcher.close()
+        server.server_close()
+
+
 def test_submit_after_close_fails_fast():
     """_Batcher.submit racing close() must raise immediately instead of
     stranding a future no worker or drain will ever resolve."""

@@ -595,7 +595,7 @@ def test_precise_bn_exactness_and_rescue():
             state, m = tstep(state, (jnp.asarray(imgs[b]), jnp.asarray(masks[b])), jax.random.key(b))
     train_dice = float(m["dice"])
 
-    refresh = make_bn_refresh_step(model)
+    refresh = make_bn_refresh_step()
 
     # (a) exactness on a single batch
     one = jnp.asarray(imgs[0])
@@ -645,8 +645,8 @@ def test_precise_bn_program_matches_per_batch_variant():
     rng = np.random.default_rng(3)
     batches = [jnp.asarray(rng.random((4, 16, 16, 3), dtype=np.float32)) for _ in range(3)]
 
-    ref = precise_batch_stats(state, batches, make_bn_refresh_step(model))
-    fused = make_precise_bn_program(model)(state, jnp.stack(batches))
+    ref = precise_batch_stats(state, batches, make_bn_refresh_step())
+    fused = make_precise_bn_program()(state, jnp.stack(batches))
 
     ref_leaves = jax.tree_util.tree_leaves(ref.batch_stats)
     fused_leaves = jax.tree_util.tree_leaves(fused)

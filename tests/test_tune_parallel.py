@@ -79,6 +79,36 @@ def test_ask_batch_retracts_lies_and_records_params():
         study.ask_batch(suggest, 0)
 
 
+@pytest.mark.parametrize("direction", ["minimize", "maximize"])
+def test_ask_batch_lies_are_pessimistic(direction):
+    """The constant-liar value must be the WORST completed value (CL-max):
+    a pessimistic lie puts the lied params in TPE's bad group, repelling the
+    remaining asks; lying with the best value would attract them instead."""
+    study = Study(direction=direction, seed=7)
+    for v in (0.2, 0.9, 0.5, 0.4, 0.7, 0.3):
+        t = study.ask()
+        t.suggest_float("x", 0, 1)
+        study.tell(t, v)
+    worst = 0.9 if direction == "minimize" else 0.2
+
+    observed_lies = []
+
+    def suggest(trial):
+        # earlier asks in this batch hold their temporary lie right now
+        observed_lies.extend(
+            t.value for t in study.trials
+            if t.state == "COMPLETE" and t.intermediate == {} and t.value == worst
+            and t is not trial and t.number >= 6
+        )
+        trial.suggest_float("x", 0, 1)
+
+    asked = study.ask_batch(suggest, 3)
+    # ask 2 saw ask 1's lie; ask 3 saw asks 1+2 — all pessimistic
+    assert observed_lies == [worst] * 3
+    for t in asked:
+        assert t.state == "RUNNING" and t.value is None
+
+
 def test_tell_complete_requires_value():
     study = Study(seed=0)
     t = study.ask()

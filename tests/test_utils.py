@@ -139,3 +139,15 @@ def test_seg_config_protocol_resolution():
 
     with pytest.raises(KeyError):
         SegTrainConfig(protocol="Z").resolved()
+
+
+def test_seg_val_device_cache_flag():
+    """--no_val_device_cache must reach the config (the val set becomes
+    device-resident by default; large val sets need the opt-out)."""
+    from adunet.cli.train_seg import config_from_args, parse_args
+
+    req = ["--train_images", "a", "--train_masks", "b",
+           "--val_images", "c", "--val_masks", "d"]
+    assert config_from_args(parse_args(req)).val_device_cache is True
+    off = config_from_args(parse_args(req + ["--no_val_device_cache"]))
+    assert off.val_device_cache is False
