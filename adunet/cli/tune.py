@@ -172,6 +172,12 @@ def _sr_objective_factory(args):
             lr_images, hr_images, tr_idx, va_idx,
             base_channels=args.sr_base_channels, seed=args.seed,
             perceptual_fn=perceptual_fn, mesh=mesh,
+            # fixed lane floor: every group of a given batch size shares one
+            # program shape, so the whole study compiles at most one
+            # train/val program per batch-size bucket instead of one per
+            # (group size, batch size) — TPE asks split unevenly across
+            # buckets, and each novel K is a fresh multi-minute XLA compile
+            lane_width=args.parallel_trials,
         )
 
     def retrain(best_params) -> dict:

@@ -66,6 +66,7 @@ class BatchedVanillaSRTuner:
         seed: int = 42,
         perceptual_fn=None,
         mesh=None,
+        lane_width=None,
     ):
         import jax
         import jax.numpy as jnp
@@ -79,34 +80,55 @@ class BatchedVanillaSRTuner:
         self.val_idx = np.asarray(val_idx)
         self.seed = seed
         self.mesh = mesh
+        self.lane_width = lane_width
         self.image_size = int(hr_images.shape[1])
         self.model = VanillaSRUNet(base_channels=base_channels)
         self.perceptual_fn = perceptual_fn or make_perceptual_fn(input_size=self.image_size)
         self._step_cache: dict = {}
+        # ONE optimizer for the tuner's lifetime: TrainState's treedef embeds
+        # tx's init/update closures, so a fresh make_optimizer per group would
+        # give every group a structurally distinct pytree and defeat the jit
+        # cache (each run_group would re-trace). The injected-lr placeholder
+        # is irrelevant — _stacked_state overwrites hyperparams per group.
+        from adunet.train import make_optimizer
+
+        self._tx = make_optimizer(1.0, inject_lr=True)
 
     # ------------------------------------------------------------- internals
 
     def _lane_width(self, n_trials: int) -> int:
-        """Pad the trial axis to a mesh-divisible width (padded lanes are
-        discarded duplicates of the last trial — correctness is unaffected,
-        only the pad's MXU time is wasted, bounded by mesh_size - 1 lanes)."""
+        """Pad the trial axis (padded lanes are discarded duplicates of the
+        last trial — correctness is unaffected, only the pad's MXU time is
+        wasted).
+
+        Two padding sources compose:
+        - ``lane_width``: a fixed floor so every group of the same batch size
+          shares ONE program shape. Without it each distinct group size K is
+          a fresh XLA compile — and a TPE study's asks split unevenly across
+          the batch-size groups, so an unpadded study can pay more compile
+          wall-clock than train wall-clock. The dup lanes ride an existing
+          dispatch; a recompile is minutes.
+        - mesh divisibility: the trial axis must split evenly over the
+          ``trial`` mesh axis (bounded by mesh_size - 1 extra lanes).
+        """
+        width = max(n_trials, int(self.lane_width or 0))
         if self.mesh is None:
-            return n_trials
+            return width
         n_dev = math.prod(self.mesh.devices.shape)
-        return -(-n_trials // n_dev) * n_dev
+        return -(-width // n_dev) * n_dev
 
     def _stacked_state(self, lrs: np.ndarray):
         """One init (the sequential tuner seeds every trial identically),
         broadcast onto the trial axis, with per-lane learning rates injected
         into the stacked optimizer state."""
         jax, jnp = self._jax, self._jnp
-        from adunet.train import create_train_state, make_optimizer
+        from adunet.train import create_train_state
 
         base = create_train_state(
             self.model,
             jax.random.key(self.seed),
             jnp.zeros((1, self.image_size, self.image_size, 3)),
-            make_optimizer(float(lrs[0]), inject_lr=True),
+            self._tx,
         )
         g = len(lrs)
         state = jax.tree.map(lambda x: jnp.stack([jnp.asarray(x)] * g), base)

@@ -243,6 +243,38 @@ def test_batched_lanes_mesh_matches_unmeshed(sr_corpus, perceptual_fn):
     np.testing.assert_allclose(plain, meshed, rtol=2e-4, atol=1e-6)
 
 
+def test_lane_width_pad_exact_and_single_compile(sr_corpus, perceptual_fn):
+    """A fixed lane floor changes nothing numerically, and groups of
+    different sizes reuse ONE compiled program per batch size (without the
+    floor, every distinct group size K is a fresh XLA compile — multi-minute
+    on a real deployment, and a TPE study's asks split unevenly across the
+    batch-size buckets)."""
+    lr_images, hr_images, tr_idx, va_idx = sr_corpus
+    plain = BatchedVanillaSRTuner(
+        lr_images, hr_images, tr_idx, va_idx,
+        base_channels=BASE_CH, seed=SEED, perceptual_fn=perceptual_fn,
+    ).run_group(CONFIGS, batch_size=4, epochs=1)
+
+    padded_tuner = BatchedVanillaSRTuner(
+        lr_images, hr_images, tr_idx, va_idx,
+        base_channels=BASE_CH, seed=SEED, perceptual_fn=perceptual_fn,
+        lane_width=4,
+    )
+    assert padded_tuner._lane_width(3) == 4
+    assert padded_tuner._lane_width(7) == 7  # a floor, never a truncation
+    padded = padded_tuner.run_group(CONFIGS, batch_size=4, epochs=1)
+    assert len(padded) == len(CONFIGS)  # pad lanes are not returned
+    np.testing.assert_allclose(plain, padded, rtol=2e-4, atol=1e-6)
+
+    # a second, smaller group hits the SAME program shapes: no retrace
+    # (ragged data batches may already account for >1 entry — the assertion
+    # is that the group-size change adds none)
+    train_step, val_step = padded_tuner._steps()
+    before = (train_step._cache_size(), val_step._cache_size())
+    padded_tuner.run_group(CONFIGS[:1], batch_size=4, epochs=1)
+    assert (train_step._cache_size(), val_step._cache_size()) == before
+
+
 # ------------------------------------------------------------------ CLI e2e
 
 
