@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import glob as _glob
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 from adunet.utils import sorted_alphanumeric
 
@@ -64,61 +64,74 @@ def find_images(directory: str | Path, suffix: str = ".png", limit: Optional[int
     return paths
 
 
+# ISIC-2017 ships JPEG photographs, PNG masks, and *_superpixels sidecars;
+# .npy is this framework's extra decoded-array format (data/io.py).
+_ISIC_IMAGE_EXTS = frozenset({".jpg", ".jpeg", ".png", ".npy"})
+_ISIC_MASK_EXTS = frozenset({".png", ".jpg", ".npy"})
+_MASK_TOKEN = "_segmentation"
+
+
 def normalise_isic_key(path: Path) -> str:
     """Lower-case ISIC identifier without trailing segmentation tokens."""
-    return path.stem.lower().replace("_segmentation", "")
+    return path.stem.lower().replace(_MASK_TOKEN, "")
+
+
+def _isic_inventory(directory: Path, role: str) -> List[Path]:
+    """Single-pass listing of one ISIC directory.
+
+    ``role="image"``: dermoscopic photographs — any supported file whose stem
+    is not an ISIC superpixel sidecar. ``role="mask"``: ground truth — files
+    whose stem carries the ``_segmentation`` token. Same accept/reject
+    decisions as the reference pairing step
+    (Segmenation/code/train_adaptive_unet.py:78-135); scan structure is our
+    own (round-4 clean-room rewrite).
+    """
+    if not directory.exists():
+        raise FileNotFoundError(f"ISIC {role} directory is absent: {directory}")
+    allowed = _ISIC_IMAGE_EXTS if role == "image" else _ISIC_MASK_EXTS
+    keep: List[Path] = []
+    for entry in directory.iterdir():
+        if not entry.is_file() or entry.suffix.lower() not in allowed:
+            continue
+        stem = entry.stem.lower()
+        if role == "image" and "superpixels" in stem:
+            continue
+        if role == "mask" and not stem.endswith(_MASK_TOKEN):
+            continue
+        keep.append(entry)
+    if not keep:
+        raise FileNotFoundError(f"no usable ISIC {role} files under {directory}")
+    return keep
 
 
 def collect_isic_pairs(image_dir: str | Path, mask_dir: str | Path) -> List[Tuple[str, str]]:
-    """Align dermoscopic images with their segmentation masks; hard-errors on
-    missing masks with the reference's truncated-example message shape."""
-    image_dir = Path(image_dir)
-    mask_dir = Path(mask_dir)
-    if not image_dir.exists():
-        raise FileNotFoundError(f"image directory missing on disk: {image_dir}")
-    if not mask_dir.exists():
-        raise FileNotFoundError(f"mask directory missing on disk: {mask_dir}")
+    """Pair each dermoscopic image with its ``*_segmentation`` mask.
 
-    def valid_image(path: Path) -> bool:
-        return (
-            path.is_file()
-            and path.suffix.lower() in {".jpg", ".jpeg", ".png", ".npy"}
-            and "superpixels" not in path.stem.lower()
-        )
+    Join semantics kept from the reference because tests assert them: output
+    ordered by lower-cased image stem, masks looked up by
+    :func:`normalise_isic_key`, superpixel sidecars never pair, and ANY
+    unmatched image aborts with a ValueError naming up to five offenders
+    (an incomplete corpus is a staging error, not something to train around).
+    """
+    images = sorted(_isic_inventory(Path(image_dir), "image"), key=lambda p: p.stem.lower())
+    # Key collisions (same identifier, different extension) resolve to the
+    # lexicographically-last mask name — deterministic, where the reference
+    # left collision order to the filesystem.
+    masks_by_key: Dict[str, Path] = {}
+    for mask in sorted(_isic_inventory(Path(mask_dir), "mask"),
+                       key=lambda p: (normalise_isic_key(p), p.name)):
+        masks_by_key[normalise_isic_key(mask)] = mask
 
-    def valid_mask(path: Path) -> bool:
-        return (
-            path.is_file()
-            and path.suffix.lower() in {".png", ".jpg", ".npy"}
-            and path.stem.lower().endswith("_segmentation")
-        )
-
-    image_paths = sorted([p for p in image_dir.iterdir() if valid_image(p)], key=lambda p: p.stem.lower())
-    mask_paths = sorted([p for p in mask_dir.iterdir() if valid_mask(p)], key=normalise_isic_key)
-
-    if not image_paths:
-        raise FileNotFoundError(f"found no image files under {image_dir}")
-    if not mask_paths:
-        raise FileNotFoundError(f"found no mask files under {mask_dir}")
-
-    mask_index = {normalise_isic_key(p): p for p in mask_paths}
-    missing: List[str] = []
-    pairs: List[Tuple[str, str]] = []
-    for image_path in image_paths:
-        mask_path = mask_index.get(normalise_isic_key(image_path))
-        if mask_path is None:
-            missing.append(image_path.name)
-            continue
-        pairs.append((str(image_path), str(mask_path)))
-
-    if missing:
-        truncated = ", ".join(missing[:5])
-        suffix = "" if len(missing) <= 5 else "…"
+    keyed_images = [(normalise_isic_key(p), p) for p in images]
+    unmatched = [p.name for key, p in keyed_images if key not in masks_by_key]
+    if unmatched:
+        shown = ", ".join(unmatched[:5])
+        more = "" if len(unmatched) <= 5 else f", +{len(unmatched) - 5} more"
         raise ValueError(
-            f"Missing {len(missing)} segmentation masks in {mask_dir}; "
-            f"e.g. {truncated}{suffix}"
+            f"Missing {len(unmatched)} segmentation masks in {mask_dir} "
+            f"(unmatched images: {shown}{more})"
         )
-    return pairs
+    return [(str(p), str(masks_by_key[key])) for key, p in keyed_images]
 
 
 _CANONICAL_TOKENS = [

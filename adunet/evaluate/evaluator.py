@@ -48,13 +48,20 @@ class EvalResults:
     samples: int
 
 
+# Per-patch metric columns, in report order. The "_y" suffix (Y-channel) is
+# part of the reference CSV schema.
+_METRIC_KEYS = ("psnr_y", "ssim_y", "msssim_y", "mse_y")
+
+
 def infer_eval_shave(scale: float, explicit: Optional[int] = None) -> int:
-    """Default border shave = 2 * round(1/scale) (evaluate_model.py:49-54)."""
+    """Border shave in pixels. An explicit request wins (floored at 0);
+    otherwise the reference default of ``2 * round(1/scale)``
+    (evaluate_model.py:49-54), degrading to 0 for non-positive scales."""
     if explicit is not None:
         return max(0, int(explicit))
-    inv_scale = 1.0 / scale if scale > 0 else 0.0
-    scale_factor = int(round(inv_scale)) if inv_scale > 0 else 0
-    return 2 * scale_factor if scale_factor > 0 else 0
+    if scale <= 0:
+        return 0
+    return 2 * int(round(1.0 / scale))
 
 
 def evaluate_sr(
@@ -93,18 +100,12 @@ def evaluate_sr(
     # compiled batch shape: the dataset's batch size rounded up to shardable
     compiled = -(-batch_size // n_shards) * n_shards
     rows: List[Dict[str, float]] = []
-    all_metrics: Dict[str, List[np.ndarray]] = {
-        "psnr_y": [],
-        "ssim_y": [],
-        "msssim_y": [],
-        "mse_y": [],
-    }
+    metric_series: Dict[str, List[np.ndarray]] = {key: [] for key in _METRIC_KEYS}
 
     import jax as _jax
 
     from adunet.utils.misc import pad_leading_to as _pad_to
 
-    offset = 0
     for batch in dataset:
         n = _jax.tree_util.tree_leaves(batch)[0].shape[0]
         # pad ragged final batch to the compiled shape; drop rows on host
@@ -113,51 +114,37 @@ def evaluate_sr(
         )
         out = step(state, padded)
         out = {k: np.asarray(v)[:n] for k, v in out.items()}
-        for k in all_metrics:
-            all_metrics[k].append(out[k])
-        for i in range(n):
-            rows.append(
-                {
-                    "index": offset + i,
-                    "psnr_y": float(out["psnr_y"][i]),
-                    "ssim_y": float(out["ssim_y"][i]),
-                    "msssim_y": float(out["msssim_y"][i]),
-                    "mse_y": float(out["mse_y"][i]),
-                }
-            )
-        offset += n
+        base = len(rows)
+        rows.extend(
+            {"index": base + i, **{k: float(out[k][i]) for k in _METRIC_KEYS}}
+            for i in range(n)
+        )
+        for key in _METRIC_KEYS:
+            metric_series[key].append(out[key])
 
     if not rows:
         raise RuntimeError("evaluation stream produced zero patches.")
 
-    def stats(key: str) -> Tuple[float, float]:
-        arr = np.concatenate(all_metrics[key], axis=0).astype(np.float64)
-        return float(np.mean(arr)), float(np.std(arr))
-
-    mse_mean, mse_std = stats("mse_y")
-    psnr_mean, psnr_std = stats("psnr_y")
-    ssim_mean, ssim_std = stats("ssim_y")
-    msssim_mean, msssim_std = stats("msssim_y")
-
-    summary = EvalResults(
-        mse_mean=mse_mean,
-        mse_std=mse_std,
-        psnr_mean=psnr_mean,
-        psnr_std=psnr_std,
-        ssim_mean=ssim_mean,
-        ssim_std=ssim_std,
-        msssim_mean=msssim_mean,
-        msssim_std=msssim_std,
-        samples=len(rows),
-    )
-    return summary, rows
+    # float64 pooled mean/std per metric, ±inf flowing through untouched —
+    # the reference aggregates the same way, and scale-0.2 runs really do
+    # produce inf PSNR on flat shaved patches (SURVEY §2.5)
+    summary_fields: Dict[str, float] = {}
+    for key in _METRIC_KEYS:
+        pooled = np.concatenate(metric_series[key], axis=0).astype(np.float64)
+        stem = key[: -len("_y")]
+        summary_fields[f"{stem}_mean"] = float(pooled.mean())
+        summary_fields[f"{stem}_std"] = float(pooled.std())
+    return EvalResults(samples=len(rows), **summary_fields), rows
 
 
 def attach_filenames(per_image: List[Dict[str, float]], filenames: Sequence[str]) -> None:
+    """Label each metric row with its grid-patch name, in place."""
     if len(per_image) != len(filenames):
-        raise ValueError("per-patch metric rows and patch labels are out of sync.")
-    for item, name in zip(per_image, filenames):
-        item["filename"] = name
+        raise ValueError(
+            f"have {len(per_image)} metric rows but {len(filenames)} patch labels"
+        )
+    for row, label in zip(per_image, filenames):
+        row["filename"] = label
 
 
 def write_outputs(
@@ -167,16 +154,16 @@ def write_outputs(
     config: Dict[str, object],
     write_per_image: bool = True,
 ) -> None:
-    """config.json + metrics.json + per_image_metrics.csv, reference schema
-    (evaluate_model.py:173-190)."""
+    """Emit the evaluator's three report files. File names, JSON keys, and
+    CSV column order are the compat contract consumed by the reference's
+    plot tooling (evaluate_model.py:173-190) and our plot CLI."""
     run_dir = Path(run_dir)
     run_dir.mkdir(parents=True, exist_ok=True)
-    (run_dir / "config.json").write_text(json.dumps(config, indent=2, default=str))
-    (run_dir / "metrics.json").write_text(json.dumps(asdict(summary), indent=2))
-    if write_per_image:
-        with (run_dir / "per_image_metrics.csv").open("w", newline="") as handle:
-            fieldnames = ["index", "filename", "psnr_y", "ssim_y", "msssim_y", "mse_y"]
-            writer = csv.DictWriter(handle, fieldnames=fieldnames)
-            writer.writeheader()
-            for row in per_image:
-                writer.writerow(row)
+    for name, payload in (("config.json", config), ("metrics.json", asdict(summary))):
+        (run_dir / name).write_text(json.dumps(payload, indent=2, default=str))
+    if not write_per_image:
+        return
+    with (run_dir / "per_image_metrics.csv").open("w", newline="") as sink:
+        writer = csv.DictWriter(sink, fieldnames=["index", "filename", *_METRIC_KEYS])
+        writer.writeheader()
+        writer.writerows(per_image)
