@@ -251,6 +251,39 @@ def main() -> None:
     if value is None:
         raise RuntimeError(f"bench failed at all batch sizes: {last_err}")
 
+    V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
+
+    def step_flops(apply_model, batch_size: int) -> float:
+        """Compiler-certified FLOPs of ONE train step (degrade + fwd + bwd +
+        Adam) for a model, via XLA cost_analysis on the compiled program —
+        the same accounting as scripts/r3_flops_audit.py, emitted here so the
+        round's MFU headline is self-contained (VERDICT r3 #7)."""
+        st = create_train_state(
+            apply_model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
+        )
+        hr = jnp.zeros((batch_size, PX, PX, 3), jnp.float32)
+
+        def step(state, hr_batch):
+            lr_batch = degrade(hr_batch, DATA_LR_SHRINK, PX)
+
+            def compute_loss(params):
+                pred = state.apply_fn({"params": params}, lr_batch)
+                loss, _m = sr_loss_and_metrics(loss_fn, hr_batch, pred)
+                return loss
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        cost = jax.jit(step).lower(st, hr).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        flops = float(cost["flops"])
+        if not flops > 0:
+            raise RuntimeError(f"cost_analysis returned non-positive flops: {flops}")
+        return flops
+
+    def mfu_of(imgs_per_sec: float, flops_per_step: float, batch_size: int) -> float:
+        return imgs_per_sec * (flops_per_step / batch_size) / (V5E_PEAK_BF16_TFLOPS * 1e12)
+
     def run_device_cache_bench(batch_size: int) -> float:
         """Corpus resident in HBM, patches sampled inside the jitted step —
         the production path for datasets that fit device memory (DIV2K ~5 GB
@@ -389,6 +422,64 @@ def main() -> None:
         payload["eval_imgs_per_sec"] = round(run_eval_bench(batch_used), 2)
     except Exception as exc:
         payload["eval_bench_error"] = str(exc)[:200]
+
+    # MFU: measured img/s x compiler-counted FLOPs/img vs the v5e bf16 peak.
+    # Flagship (scale 0.5 / depth 3) is structurally lane-capped (N=64 conv
+    # channels; PERF.md pins the compiled envelope at ~35% and XLA at ~84%
+    # of it); the deep 138M configs run near 2/3 of peak.
+    try:
+        fl = step_flops(model, batch_used)
+        payload["tflops_per_img_flagship"] = round(fl / batch_used / 1e12, 3)
+        payload["mfu_flagship"] = round(mfu_of(value, fl, batch_used), 3)
+    except Exception as exc:
+        payload["mfu_flagship_error"] = str(exc)[:200]
+    try:
+        deep_bs = 4 if SMOKE else 8
+        deep_model, _ = build_super_resolution_unet(
+            scale=0.8, depth_override=5, input_size=PX,
+            dtype=jnp.bfloat16, remat_levels=2,
+        )
+        deep_state = create_train_state(
+            deep_model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
+        )
+
+        def one_deep_step(state, rng):
+            hr_batch = jax.random.uniform(rng, (deep_bs, PX, PX, 3), dtype=jnp.float32)
+            lr_batch = degrade(hr_batch, DATA_LR_SHRINK, PX)
+
+            def compute_loss(params):
+                pred = state.apply_fn({"params": params}, lr_batch)
+                loss, _m = sr_loss_and_metrics(loss_fn, hr_batch, pred)
+                return loss
+
+            loss, grads = jax.value_and_grad(compute_loss)(state.params)
+            return state.apply_gradients(grads=grads), loss
+
+        def make_deep_runner(n_steps):
+            @jax.jit
+            def run(state, rng):
+                def body(carry, _):
+                    st, key = carry
+                    key, sub = jax.random.split(key)
+                    st, loss = one_deep_step(st, sub)
+                    return (st, key), loss
+
+                (state, _), losses = jax.lax.scan(body, (state, rng), None, length=n_steps)
+                return state, losses
+
+            return run
+
+        deep_ips = scan_diff_throughput(
+            make_deep_runner, deep_state, jax.random.key(7), deep_bs
+        )
+        payload["deep_train_imgs_per_sec_scale0.8_depth5_bs8"] = round(deep_ips, 2)
+        # reference: 977 ms/step at batch 1 on the 2080 Ti (BASELINE.md)
+        payload["vs_baseline_deep"] = round(deep_ips / (1.0 / 0.977), 2)
+        deep_fl = step_flops(deep_model, deep_bs)
+        payload["tflops_per_img_deep"] = round(deep_fl / deep_bs / 1e12, 3)
+        payload["mfu_deep"] = round(mfu_of(deep_ips, deep_fl, deep_bs), 3)
+    except Exception as exc:
+        payload["mfu_deep_error"] = str(exc)[:200]
 
     print(json.dumps(payload))
 
