@@ -209,3 +209,68 @@ def test_hyperband_pruning_at_rungs():
             assert max(t.intermediate) in (2, 8), t.intermediate
     # the best completed trial was never pruned and the study still converges
     assert study.best_value < 0.3
+
+
+def test_median_pruner_decision_rule_semantics():
+    """The median pruner's decision rule, pinned to optuna's documented
+    MedianPruner semantics (optuna.pruners.MedianPruner: 'prune if the
+    trial's intermediate result is worse than the median of intermediate
+    results of previous COMPLETED trials at the same step', with
+    n_startup_trials / n_warmup_steps grace periods). Backs the round-4
+    pruner-fidelity study (scripts/r4_pruner_fidelity.sh)."""
+
+    def seeded_study(direction):
+        study = Study(direction=direction, seed=0, pruner="median",
+                      n_warmup_trials=2, n_warmup_steps=1)
+        finals = [0.2, 0.4, 0.6]
+        for final in finals:
+            t = study.ask()
+            for step, v in enumerate([final - 0.1, final]):
+                t.report(v, step)
+            study.tell(t, final)
+        return study  # completed history at step 1: [0.2, 0.4, 0.6], median 0.4
+
+    # --- minimize: strictly worse than the median is cut, ties survive ---
+    study = seeded_study("minimize")
+    probe = study.ask()
+    probe.report(0.39, 1)
+    assert not probe.should_prune()  # better than median
+    probe.report(0.40, 1)
+    assert not probe.should_prune()  # equal to median: not strictly worse
+    probe.report(0.41, 1)
+    assert probe.should_prune()      # strictly worse
+
+    # --- warm-up steps: never prune below n_warmup_steps ---
+    early = study.ask()
+    early.report(99.0, 0)
+    assert not early.should_prune()
+
+    # --- history is completed-trials-only: a PRUNED trial's great value
+    #     must not shift the median ---
+    study.tell(probe, state="PRUNED")
+    ghost = study.ask()
+    ghost.report(-100.0, 1)          # would drag the median down if counted
+    study.tell(ghost, state="PRUNED")
+    probe2 = study.ask()
+    probe2.report(0.40, 1)
+    assert not probe2.should_prune()  # median still 0.4
+
+    # --- warm-up trials: with < n_warmup_trials completed, never prune ---
+    fresh = Study(direction="minimize", seed=0, pruner="median",
+                  n_warmup_trials=2, n_warmup_steps=0)
+    t0 = fresh.ask()
+    t0.report(0.1, 0)
+    fresh.tell(t0, 0.1)
+    lone = fresh.ask()
+    lone.report(99.0, 0)
+    assert not lone.should_prune()   # only 1 completed trial at this step
+
+    # --- maximize direction mirrors the comparison ---
+    study_max = seeded_study("maximize")
+    hi = study_max.ask()
+    hi.report(0.41, 1)
+    assert not hi.should_prune()
+    hi.report(0.40, 1)
+    assert not hi.should_prune()
+    hi.report(0.39, 1)
+    assert hi.should_prune()
