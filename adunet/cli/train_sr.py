@@ -313,6 +313,15 @@ def train(cfg) -> dict:
     ckpt = CheckpointManager(
         ckpt_dir, monitor="val_loss", mode="min", async_save=cfg.async_checkpoint
     )
+    # capture any pre-existing run config BEFORE overwriting it — the
+    # auto-resume cross-check below compares against what the checkpoints
+    # were actually trained with
+    stored_cfg = {}
+    if (ckpt_dir / "config.json").exists():
+        try:
+            stored_cfg = json.loads((ckpt_dir / "config.json").read_text())
+        except Exception:
+            stored_cfg = {}
     if main:
         ckpt.write_config(config_payload)
 
@@ -330,6 +339,22 @@ def train(cfg) -> dict:
     elif ckpt.latest_step() is not None:
         # BackupAndRestore semantics (reference train_adaptive_unet.py:613-620):
         # a crashed/preempted run restarted with the same dirs auto-resumes.
+        # Cross-check the stored run config first: silently adopting
+        # checkpoints trained under different data/model flags corrupts the
+        # run (same warn-don't-fail posture as the reference's --resume_from
+        # cross-checks, train_adaptive_unet.py:496-522).
+        drift = {
+            key: (stored_cfg.get(key), config_payload.get(key))
+            for key in ("scale", "depth_override", "max_depth", "base_channels",
+                        "patch_size", "patches_per_image", "batch_size", "seed",
+                        "loss", "data_lr_shrink", "consistent_degradation",
+                        "high_res_dir", "low_res_dir")
+            if key in stored_cfg and stored_cfg.get(key) != config_payload.get(key)
+        }
+        if drift:
+            print("[warn] auto-resume checkpoints were trained under DIFFERENT "
+                  "flags; continuing mixes training regimes: "
+                  + ", ".join(f"{k}: {old!r} -> {new!r}" for k, (old, new) in sorted(drift.items())))
         restored = ckpt.restore_latest(state)
         state = place(restored)
         initial_epoch = int(ckpt.latest_step())

@@ -377,3 +377,39 @@ def test_train_seg_cli_ragged_tail_on_mesh(tmp_path):
     cfg = json.loads((root / "logs" / "ragged" / "config.json").read_text())
     assert cfg["train_samples"] == 10
     assert cfg["train_steps_per_epoch"] == 2  # ceil(10/8), tail wrap-filled
+
+
+def test_train_sr_auto_resume_warns_on_config_drift(tiny_dataset, tmp_path, capsys):
+    """Auto-resume (BackupAndRestore semantics) must surface that the
+    existing checkpoints were trained under DIFFERENT data/model flags —
+    silently mixing training regimes corrupted a round-4 sweep run before
+    this cross-check existed (same warn posture as the reference's
+    --resume_from checks, train_adaptive_unet.py:496-522)."""
+    from adunet.cli.train_sr import main as train_main
+
+    def args(ppi, epochs):
+        return [
+            "--scale", "0.5", "--depth_override", "1",
+            "--base_channels", "8", "--residual_head_channels", "8",
+            "--patch_size", "32", "--patches_per_image", str(ppi),
+            "--batch_size", "8", "--patience", "10",
+            "--high_res_dir", str(tiny_dataset), "--image_suffix", ".npy",
+            "--model_dir", str(tmp_path / "models"),
+            "--log_dir", str(tmp_path / "logs"),
+            "--epochs", str(epochs), "--run_name", f"drift_ppi{ppi}",
+        ]
+
+    train_main(args(ppi=1, epochs=1))
+    capsys.readouterr()
+
+    # same dirs, more epochs, CHANGED patches_per_image -> auto-resume + warn
+    train_main(args(ppi=2, epochs=2))
+    out = capsys.readouterr().out
+    assert "auto-resume" in out
+    assert "DIFFERENT" in out and "patches_per_image" in out
+
+    # unchanged flags -> auto-resume without the drift warning
+    train_main(args(ppi=2, epochs=3))
+    out = capsys.readouterr().out
+    assert "auto-resume" in out
+    assert "DIFFERENT" not in out
