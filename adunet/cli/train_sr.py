@@ -92,6 +92,11 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--async_checkpoint", action="store_true",
                         help="Overlap per-epoch checkpoint writes with the next epoch's "
                              "compute (Orbax async save; restores barrier first).")
+    parser.add_argument("--ckpt_every", type=int, default=1,
+                        help="Checkpoint cadence in epochs (1 = the reference's every-epoch "
+                             "ModelCheckpoint). N>1 cuts the device->host state pull that "
+                             "dominates epoch time for 100M+ models on remote-TPU tunnels; "
+                             "the final/early-stop epoch always checkpoints.")
     return parser.parse_args(argv)
 
 
@@ -478,6 +483,7 @@ def train(cfg) -> dict:
         patience=cfg.patience,
         restore_best_weights=True,
         ckpt=ckpt,
+        ckpt_every=cfg.ckpt_every,
         mesh=mesh,
         log_dir=run_dir if main else None,
         tb_writer=tb_writer,

@@ -94,6 +94,8 @@ class SRTrainConfig:
     # overlap per-epoch checkpoint writes with the next epoch's compute
     # (Orbax async save; saves barrier before any restore/close)
     async_checkpoint: bool = False
+    # checkpoint cadence in epochs; the final/early-stop epoch always saves
+    ckpt_every: int = 1
 
     def train_degrade_scale(self) -> float:
         return self.scale if self.consistent_degradation else self.data_lr_shrink

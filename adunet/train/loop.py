@@ -15,10 +15,12 @@ from __future__ import annotations
 import csv
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from pathlib import Path
 from typing import Any, Callable, Dict, Iterable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from adunet.parallel.mesh import (
@@ -30,6 +32,17 @@ from adunet.train.checkpoint import CheckpointManager
 from adunet.train.state import TrainState
 
 __all__ = ["fit", "FitResult", "EpochLog", "make_plateau_state", "plateau_update"]
+
+
+@partial(jax.jit, donate_argnums=())
+def _device_copy(tree):
+    """Fresh device-side buffers for a pytree, shardings preserved.
+
+    jnp.copy (not identity: jit(identity) hands back the same buffers, which
+    the next donated train step would invalidate). One dispatch for the whole
+    tree — per-leaf eager copies would pay one tunnel round-trip each on
+    remote-TPU backends."""
+    return jax.tree_util.tree_map(jnp.copy, tree)
 
 
 @dataclass
@@ -174,6 +187,7 @@ def fit(
     patience: Optional[int] = None,
     restore_best_weights: bool = True,
     ckpt: Optional[CheckpointManager] = None,
+    ckpt_every: int = 1,
     mesh=None,
     log_dir: Optional[str | Path] = None,
     samples_per_step: Optional[int] = None,
@@ -194,6 +208,12 @@ def fit(
     - ``val_data``: re-iterable of host batches; ``val_step(state, batch)``.
     - ``mesh``: if given, host batches are device_put sharded on 'data'.
     - ``ckpt``: best-metric checkpointing + step-level resume source.
+    - ``ckpt_every``: checkpoint cadence in epochs (default 1 = the
+      reference's every-epoch ModelCheckpoint). On remote-TPU tunnels the
+      device->host state pull dominates epoch time for 100M+ models
+      (~1.7 GB/save for the 138M configs); N>1 trades best-model retention
+      granularity for wall-clock. The final epoch (and the early-stop
+      epoch) always checkpoints so resume/export see the run's end state.
     - ``val_per_sample``: ``val_step`` returns ``(B,)`` per-sample vectors
       (see ``lift_per_sample``). On a single-process mesh, validation batches
       are then padded to a data-axis-divisible shape and SHARDED, with padded
@@ -473,10 +493,13 @@ def fit(
                             )
                             print(f"ReduceLROnPlateau: lr -> {new_lr:.2e}", flush=True)
 
-            if ckpt is not None:
+            saved_this_epoch = False
+            if ckpt is not None and ((epoch + 1) % max(1, ckpt_every) == 0
+                                     or (epoch + 1) == epochs):
                 _tc0 = time.perf_counter()
                 ckpt.save(epoch + 1, state, metrics=monitored_pool)
                 tail_t["ckpt"] = time.perf_counter() - _tc0
+                saved_this_epoch = True
 
             if current is not None:
                 if _improved(current, best_metric, monitor_mode):
@@ -484,15 +507,35 @@ def fit(
                     best_epoch = epoch + 1
                     wait = 0
                     if restore_best_weights:
+                        # retain the best weights as a DEVICE-side copy
+                        # (sharding preserved, no host round-trip — the old
+                        # device_get pulled ~550 MB/improving-epoch through
+                        # the remote tunnel for the 138M configs); host
+                        # fallback if HBM can't hold the extra tree
                         _tb0 = time.perf_counter()
-                        best_params_host = jax.device_get(state.params)
-                        if state.batch_stats is not None:
-                            best_stats_host = jax.device_get(state.batch_stats)
+                        try:
+                            best_params_dev = _device_copy(state.params)
+                            best_stats_dev = (
+                                _device_copy(state.batch_stats)
+                                if state.batch_stats is not None else None
+                            )
+                        except Exception:
+                            best_params_dev = jax.device_get(state.params)
+                            best_stats_dev = (
+                                jax.device_get(state.batch_stats)
+                                if state.batch_stats is not None else None
+                            )
+                        best_params_host = best_params_dev
+                        best_stats_host = best_stats_dev
                         tail_t["best"] = time.perf_counter() - _tb0
                 else:
                     wait += 1
                     if patience is not None and patience > 0 and wait >= patience:
                         stopped_early = True
+                        if ckpt is not None and not saved_this_epoch:
+                            # the stop epoch always checkpoints (resume/export
+                            # fidelity under a sparse ckpt_every cadence)
+                            ckpt.save(epoch + 1, state, metrics=monitored_pool)
                         if verbose:
                             best_str = (  # best stays None if every epoch was NaN
                                 f"{best_metric:.4f}" if best_metric is not None else "n/a"

@@ -11,18 +11,13 @@
 # Resumable: each run drops a .done marker; re-running the script skips
 # completed runs. Transcripts are named run-simple-scale*.log so
 # adunet.cli.export_log_metrics can mine them (reference log-name parity).
-# Env knobs: BASE (work dir), CORPUS_MODE (structured | natural — natural is
-# the 1/f-spectrum corpus whose identity-PSNR curve tracks BASELINE.md's
-# DIV2K band), EXPERIMENTS ("adaptive_depth fixed_depth" by default).
 set -eo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 BASE=${BASE:-/tmp/r4sweep}
-CORPUS_MODE=${CORPUS_MODE:-structured}
-EXPERIMENTS=${EXPERIMENTS:-"adaptive_depth fixed_depth"}
 mkdir -p "$BASE"
-[ -d "$BASE/train_hr" ] || python scripts/make_synth_corpus.py --mode "$CORPUS_MODE" --out "$BASE/train_hr" --n 48 --size 512 --seed 0
-[ -d "$BASE/eval_hr" ]  || python scripts/make_synth_corpus.py --mode "$CORPUS_MODE" --out "$BASE/eval_hr" --n 12 --size 512 --seed 777
+[ -d "$BASE/train_hr" ] || python scripts/make_synth_corpus.py --out "$BASE/train_hr" --n 48 --size 512 --seed 0
+[ -d "$BASE/eval_hr" ]  || python scripts/make_synth_corpus.py --out "$BASE/eval_hr" --n 12 --size 512 --seed 777
 
 # The zero-init residual head (reference identity-start behavior) produces
 # a ~500-800 optimizer-step plateau at the reference lr 1e-4 before val
@@ -59,14 +54,12 @@ run_one () {
 }
 
 # adaptive (E2) first: it holds the slow depth-5 runs; fail fast on config.
-for exp in $EXPERIMENTS; do
-  if [ "$exp" = fixed_depth ]; then scales="0.2 0.3 0.4 0.5 0.6 0.7 0.8 0.9"; else scales="0.2 0.3 0.4 0.5 0.6 0.7 0.8"; fi
-  for s in $scales; do run_one "$exp" "$s"; done
-done
+for s in 0.2 0.3 0.4 0.5 0.6 0.7 0.8; do run_one adaptive_depth "$s"; done
+for s in 0.2 0.3 0.4 0.5 0.6 0.7 0.8 0.9; do run_one fixed_depth "$s"; done
 echo "SWEEP TRAINING DONE"
 
 # Analysis chain per experiment: transcripts -> CSV, trend analysis, plots.
-for exp in $EXPERIMENTS; do
+for exp in adaptive_depth fixed_depth; do
   tdir=$BASE/$exp
   python -m adunet.cli.export_log_metrics \
     --logs-root "$tdir/transcripts" --output-root "$tdir/csv_logs_from_transcripts" \

@@ -1030,3 +1030,58 @@ def test_reduce_lr_on_plateau_matches_keras_callback():
             our_lrs, keras_lrs, rtol=1e-6,
             err_msg=f"spec {si}: LR schedules diverged\nours : {our_lrs}\nkeras: {keras_lrs}",
         )
+
+
+def test_fit_ckpt_every_cadence_and_final_save(tmp_path):
+    """ckpt_every=N saves only every Nth epoch, PLUS the final epoch and the
+    early-stop epoch (resume/export must always see the run's end state).
+    Added round 4: the per-epoch device->host state pull dominated epoch
+    time for the 138M sweep configs on the remote-TPU tunnel."""
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+    val_step = make_sr_val_step(model, loss_fn)
+
+    def spy(ckpt):
+        calls = []
+        orig = ckpt.save
+
+        def recording(step, state, metrics=None):
+            calls.append(step)
+            return orig(step, state, metrics=metrics)
+
+        ckpt.save = recording
+        return calls
+
+    # 7 epochs, no early stop: save calls at cadence (3, 6) + final epoch 7
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    ckpt = CheckpointManager(tmp_path / "ckpt_cadence", monitor="val_loss", mode="min")
+    calls = spy(ckpt)
+    fit(
+        state, _loop(hr, 4), step, steps_per_epoch=2, epochs=7,
+        val_data=[hr[:4]], val_step=val_step,
+        monitor="val_loss", monitor_mode="min", patience=0,
+        ckpt=ckpt, ckpt_every=3, verbose=0,
+    )
+    ckpt.close()
+    assert calls == [3, 6, 7], calls
+
+    # early stop fires off-cadence: the stop epoch is still checkpointed
+    # (lr=0 => weights frozen => val_loss constant => stop at patience+1)
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(0.0))
+    frozen_step = make_sr_train_step(model, loss_fn, donate=False)
+    ckpt = CheckpointManager(tmp_path / "ckpt_es", monitor="val_loss", mode="min")
+    calls = spy(ckpt)
+    result = fit(
+        state, _loop(hr, 4), frozen_step, steps_per_epoch=2, epochs=50,
+        val_data=[hr[:4]], val_step=val_step,
+        monitor="val_loss", monitor_mode="min", patience=2,
+        ckpt=ckpt, ckpt_every=100,  # cadence alone would never fire
+        restore_best_weights=False,
+        verbose=0,
+    )
+    ckpt.close()
+    assert result.stopped_early
+    assert calls, "the early-stop epoch must be checkpointed"
+    assert calls[-1] == len(result.history)  # saved at the stop epoch
