@@ -11,13 +11,18 @@
 # Resumable: each run drops a .done marker; re-running the script skips
 # completed runs. Transcripts are named run-simple-scale*.log so
 # adunet.cli.export_log_metrics can mine them (reference log-name parity).
+# Env knobs: BASE (work dir), CORPUS_MODE (structured | natural — natural is
+# the 1/f-spectrum corpus whose identity-PSNR curve tracks BASELINE.md's
+# DIV2K band), EXPERIMENTS ("adaptive_depth fixed_depth" by default).
 set -eo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 BASE=${BASE:-/tmp/r4sweep}
+CORPUS_MODE=${CORPUS_MODE:-structured}
+EXPERIMENTS=${EXPERIMENTS:-"adaptive_depth fixed_depth"}
 mkdir -p "$BASE"
-[ -d "$BASE/train_hr" ] || python scripts/make_synth_corpus.py --out "$BASE/train_hr" --n 48 --size 512 --seed 0
-[ -d "$BASE/eval_hr" ]  || python scripts/make_synth_corpus.py --out "$BASE/eval_hr" --n 12 --size 512 --seed 777
+[ -d "$BASE/train_hr" ] || python scripts/make_synth_corpus.py --mode "$CORPUS_MODE" --out "$BASE/train_hr" --n 48 --size 512 --seed 0
+[ -d "$BASE/eval_hr" ]  || python scripts/make_synth_corpus.py --mode "$CORPUS_MODE" --out "$BASE/eval_hr" --n 12 --size 512 --seed 777
 
 # The zero-init residual head (reference identity-start behavior) produces
 # a ~500-800 optimizer-step plateau at the reference lr 1e-4 before val
@@ -35,6 +40,24 @@ ppi_for () {
   esac
 }
 
+# Checkpoint flags per model size: the 34M/138M configs (depth>=4) pay a
+# multi-minute device->host state pull per checkpoint through this
+# environment's tunnel (~12 MB/s measured: 8s for the 8.6M state), so deep
+# runs checkpoint every 10 epochs (final/early-stop epoch always saves) with
+# async Orbax writes. Cadence is semantics-neutral for training math — only
+# what lands on disk changes; the quality table is unaffected.
+ckpt_flags_for () {
+  local exp=$1 scale=$2
+  if [ "$exp" = adaptive_depth ]; then
+    case "$scale" in
+      0.6|0.7|0.8) echo "--ckpt_every 10 --async_checkpoint" ;;
+      *) echo "" ;;
+    esac
+  else
+    echo ""
+  fi
+}
+
 run_one () {
   local exp=$1 scale=$2
   local tdir=$BASE/$exp
@@ -47,19 +70,21 @@ run_one () {
     --scales "$scale" \
     --high_res_dir "$BASE/train_hr" --auto_eval --eval_hr_dir "$BASE/eval_hr" \
     --model_dir "$tdir/models" --log_dir "$tdir/logs" --metadata_dir "$tdir/metadata" \
-    --extra_args --patches_per_image "$(ppi_for "$scale")" --device_cache --patience 15 \
+    --extra_args --patches_per_image "$(ppi_for "$scale")" --device_cache --patience 15 $(ckpt_flags_for "$exp" "$scale") \
     > "$tdir/transcripts/run-simple-scale${scale}.log" 2>&1
   touch "$tdir/transcripts/run-simple-scale${scale}.done"
   echo "=== $exp scale $scale done  $(date -u +%H:%M:%S) ==="
 }
 
 # adaptive (E2) first: it holds the slow depth-5 runs; fail fast on config.
-for s in 0.2 0.3 0.4 0.5 0.6 0.7 0.8; do run_one adaptive_depth "$s"; done
-for s in 0.2 0.3 0.4 0.5 0.6 0.7 0.8 0.9; do run_one fixed_depth "$s"; done
+for exp in $EXPERIMENTS; do
+  if [ "$exp" = fixed_depth ]; then scales="0.2 0.3 0.4 0.5 0.6 0.7 0.8 0.9"; else scales="0.2 0.3 0.4 0.5 0.6 0.7 0.8"; fi
+  for s in $scales; do run_one "$exp" "$s"; done
+done
 echo "SWEEP TRAINING DONE"
 
 # Analysis chain per experiment: transcripts -> CSV, trend analysis, plots.
-for exp in adaptive_depth fixed_depth; do
+for exp in $EXPERIMENTS; do
   tdir=$BASE/$exp
   python -m adunet.cli.export_log_metrics \
     --logs-root "$tdir/transcripts" --output-root "$tdir/csv_logs_from_transcripts" \
