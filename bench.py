@@ -274,7 +274,13 @@ def main() -> None:
             loss, grads = jax.value_and_grad(compute_loss)(state.params)
             return state.apply_gradients(grads=grads), loss
 
-        cost = jax.jit(step).lower(st, hr).compile().cost_analysis()
+        lowered = jax.jit(step).lower(st, hr)
+        try:
+            cost = lowered.compile().cost_analysis()
+        except Exception:
+            # some PJRT plugins don't expose compiled cost analysis; the
+            # lowering-level estimate is the same HLO-flop count
+            cost = lowered.cost_analysis()
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
         flops = float(cost["flops"])
         if not flops > 0:

@@ -31,3 +31,43 @@ for exp in $EXPERIMENTS; do
   cp "$src"/transcripts/*.log "$out/transcripts/" 2>/dev/null || true
   echo "collected $exp -> $out"
 done
+
+# int8 AOT export of the trained depth-1 run: small enough to check in
+# (~0.6 MB) and it pins the TRAINED pipeline at a depth/shave the flagship
+# golden (d3, shave 4) does not cover — tests/test_golden_eval.py re-derives
+# its eval on CPU from first principles.
+if [ -d "$BASE/adaptive_depth/models/unet_adaptive_scale0.20_depth1" ]; then
+  PYTHONPATH=/root/repo:/root/.axon_site python -m adunet.cli.export_model \
+    --model-path "$BASE/adaptive_depth/models/unet_adaptive_scale0.20_depth1" \
+    --scale 0.2 --patch-size 256 --batch-size 8 --quantize int8 \
+    --output-dir "$DST/export_scale0.2_int8" && echo "exported d1 int8"
+fi
+
+# GOLDEN.json: the pinned trained table (eval metrics + the identity-anchor
+# vs final val PSNR per run) — regression-locked by tests/test_golden_eval.py.
+python - <<EOF
+import csv, json
+from pathlib import Path
+
+dst = Path("$DST")
+golden = {}
+for exp in "$EXPERIMENTS".split():
+    table = {}
+    exp_dir = dst / exp
+    for eval_dir in sorted((exp_dir / "evaluation").glob("exp_*_eval")):
+        run = eval_dir.name[: -len("_eval")]
+        metrics = json.loads((eval_dir / "metrics.json").read_text())
+        rows = list(csv.DictReader((exp_dir / "csv_logs" / run / "epoch_metrics.csv").open()))
+        table[run] = {
+            "psnr_mean": metrics["psnr_mean"],
+            "ssim_mean": metrics["ssim_mean"],
+            "msssim_mean": metrics["msssim_mean"],
+            "samples": metrics["samples"],
+            "val_psnr_epoch1": float(rows[0]["val_psnr"]),
+            "val_psnr_final": float(rows[-1]["val_psnr"]),
+            "epochs_ran": len(rows),
+        }
+    golden[exp] = table
+(dst / "GOLDEN.json").write_text(json.dumps(golden, indent=2) + "\n")
+print(f"GOLDEN.json: {sum(len(v) for v in golden.values())} runs pinned")
+EOF

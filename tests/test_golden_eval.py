@@ -178,3 +178,121 @@ def test_flagship_100epoch_golden_artifact():
     )
     np.testing.assert_allclose(pinned["psnr_mean"], GOLDEN["psnr_mean"], rtol=1e-6)
     np.testing.assert_allclose(pinned["ssim_mean"], GOLDEN["ssim_mean"], rtol=1e-6)
+
+
+def _round4_root():
+    from pathlib import Path
+
+    return Path(__file__).resolve().parents[1] / "experiments" / "round4_sweep"
+
+
+def test_round4_trained_sweep_goldens():
+    """Round-4 trained-table goldens (VERDICT r3 #3): the reference-length
+    (100-epoch, patience-15) E1+E2 sweep's eval metrics and training
+    trajectories are pinned in experiments/round4_sweep/GOLDEN.json. This
+    locks (a) artifact<->golden agreement, (b) the trained-ness criterion —
+    every run's final val PSNR >= +2 dB over its epoch-1 identity anchor
+    (the round-2 sweep failed this at scales <=0.6), and (c) the table's
+    scale ordering at the low end."""
+    import csv
+    import json
+
+    root = _round4_root()
+    if not (root / "GOLDEN.json").exists():
+        pytest.skip("round-4 sweep artifacts not present (run scripts/r4_sweep_full.sh + r4_sweep_collect.sh)")
+    golden = json.loads((root / "GOLDEN.json").read_text())
+    assert set(golden) >= {"adaptive_depth", "fixed_depth"}
+    assert len(golden["adaptive_depth"]) == 7 and len(golden["fixed_depth"]) == 8
+
+    for exp, table in golden.items():
+        for run, pin in table.items():
+            metrics = json.loads(
+                (root / exp / "evaluation" / f"{run}_eval" / "metrics.json").read_text()
+            )
+            np.testing.assert_allclose(metrics["psnr_mean"], pin["psnr_mean"], rtol=1e-6)
+            np.testing.assert_allclose(metrics["ssim_mean"], pin["ssim_mean"], rtol=1e-6)
+            assert metrics["samples"] == pin["samples"]
+            rows = list(csv.DictReader(
+                (root / exp / "csv_logs" / run / "epoch_metrics.csv").open()
+            ))
+            assert len(rows) == pin["epochs_ran"]
+            np.testing.assert_allclose(float(rows[0]["val_psnr"]), pin["val_psnr_epoch1"], rtol=1e-6)
+            np.testing.assert_allclose(float(rows[-1]["val_psnr"]), pin["val_psnr_final"], rtol=1e-6)
+            # trained-ness: the whole point of the round-4 re-run
+            assert pin["val_psnr_final"] >= pin["val_psnr_epoch1"] + 2.0, (
+                f"{exp}/{run} is still near-identity "
+                f"({pin['val_psnr_epoch1']:.2f} -> {pin['val_psnr_final']:.2f} dB)"
+            )
+
+    def psnr_of(exp, scale_token):
+        run = next(r for r in golden[exp] if f"scale{scale_token}" in r)
+        return golden[exp][run]["psnr_mean"]
+
+    # trained eval quality rises from the harshest degradation upward
+    for exp in ("adaptive_depth", "fixed_depth"):
+        assert psnr_of(exp, "0.20") < psnr_of(exp, "0.40") < psnr_of(exp, "0.50")
+
+
+def test_round4_trained_d1_export_golden_rederived():
+    """Pipeline lock for the TRAINED depth-1 run (scale 0.2, shave 10 — a
+    depth/shave combination the flagship golden does not cover): regenerate
+    the eval corpus from its seed, run the checked-in int8 AOT artifact on
+    CPU, recompute Y-channel metrics from first principles, and compare to
+    the on-chip eval report. Mirrors test_flagship_100epoch_golden_artifact."""
+    import json
+    import sys
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    art_dir = _round4_root() / "export_scale0.2_int8"
+    metrics_path = (
+        _round4_root() / "adaptive_depth" / "evaluation"
+        / "exp_adaptive_depth_scale0.20_depth1_eval" / "metrics.json"
+    )
+    if not art_dir.exists() or not metrics_path.exists():
+        pytest.skip("round-4 d1 export not present (run scripts/r4_sweep_collect.sh)")
+
+    pinned = json.loads(metrics_path.read_text())
+
+    sys.path.insert(0, str(root / "scripts"))
+    from make_synth_corpus import synth_image
+
+    from adunet.export import load_artifact
+    from adunet.metrics.psnr_ssim import msssim_power_factors_for, ssim_multiscale
+    from adunet.metrics import psnr as psnr_fn, ssim as ssim_fn
+    from adunet.ops import degrade as degrade_op, rgb_to_luma_bt601
+
+    call, manifest = load_artifact(art_dir)
+    bsz, patch = int(manifest["input_shape"][0]), int(manifest["input_shape"][1])
+
+    rng = np.random.default_rng(777)
+    tiles = []
+    for _ in range(12):
+        img = synth_image(rng, 512)
+        img = (np.round(img * 255).astype(np.uint8).astype(np.float32)) / 255.0
+        for ty in range(0, 512, patch):
+            for tx in range(0, 512, patch):
+                tiles.append(img[ty : ty + patch, tx : tx + patch])
+    tiles = np.stack(tiles)
+
+    shave = infer_eval_shave(0.2)  # = 10
+    pf = {"power_factors": msssim_power_factors_for(patch - 2 * shave)}
+    psnrs, ssims, msssims = [], [], []
+    for i in range(0, len(tiles), bsz):
+        chunk = tiles[i : i + bsz]
+        n = chunk.shape[0]
+        if n < bsz:
+            chunk = np.concatenate([chunk, np.repeat(chunk[-1:], bsz - n, axis=0)])
+        lr = degrade_op(jnp.asarray(chunk), 0.2, patch)
+        pred = jnp.clip(jnp.asarray(call(lr)).astype(jnp.float32), 0, 1)
+        hr_y = rgb_to_luma_bt601(jnp.asarray(chunk))[:, shave:-shave, shave:-shave]
+        pred_y = rgb_to_luma_bt601(pred)[:, shave:-shave, shave:-shave]
+        psnrs.extend(np.asarray(psnr_fn(hr_y, pred_y))[:n])
+        ssims.extend(np.asarray(ssim_fn(hr_y, pred_y))[:n])
+        msssims.extend(np.asarray(ssim_multiscale(hr_y, pred_y, **pf))[:n])
+
+    assert len(psnrs) == pinned["samples"] == 48
+    # CPU-vs-TPU numerics + int8 weight quantization (flagship tolerance)
+    np.testing.assert_allclose(np.mean(psnrs), pinned["psnr_mean"], atol=0.15)
+    np.testing.assert_allclose(np.mean(ssims), pinned["ssim_mean"], atol=2e-3)
+    np.testing.assert_allclose(np.mean(msssims), pinned["msssim_mean"], atol=2e-3)
