@@ -66,7 +66,12 @@ def train(args: argparse.Namespace) -> dict:
     from adunet.data.seg_pipeline import SegPairDataset
     from adunet.losses import charbonnier_loss, l1_loss, make_bce_dice_loss, make_weighted_ce_loss
     from adunet.models import build_joint_unet
-    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
+    from adunet.parallel import (
+        auto_data_parallel_size,
+        make_mesh,
+        maybe_initialize_distributed,
+        replicate,
+    )
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -126,7 +131,19 @@ def train(args: argparse.Namespace) -> dict:
     else:
         seg_loss_fn = make_bce_dice_loss(0.5, 1.0)
 
-    mesh = make_mesh(args.n_devices)
+    # Batch-vs-mesh policy (same rule as train_sr/train_seg): auto-cap the
+    # data axis to the largest batch divisor when --n_devices is not given.
+    n_devices = args.n_devices
+    if n_devices is None and jax.process_count() == 1:
+        avail = jax.device_count()
+        n_devices = auto_data_parallel_size(args.batch_size, avail)
+        if n_devices < avail:
+            print(
+                f"[mesh] data axis auto-capped to {n_devices} of {avail} devices "
+                f"(batch_size={args.batch_size}).",
+                flush=True,
+            )
+    mesh = make_mesh(n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
     # batch_size is per-process: the global batch (batch_size x process_count)
     # must split evenly over the data axis (train_sr uses the same rule)

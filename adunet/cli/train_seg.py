@@ -77,7 +77,12 @@ def train(cfg) -> dict:
     from adunet.data import build_isic_dataset
     from adunet.losses import make_bce_dice_loss, make_hybrid_ce_dice_loss
     from adunet.models import build_adaptive_depth_unet
-    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
+    from adunet.parallel import (
+        auto_data_parallel_size,
+        make_mesh,
+        maybe_initialize_distributed,
+        replicate,
+    )
     from adunet.train import (
         CheckpointManager,
         create_train_state,
@@ -91,9 +96,25 @@ def train(cfg) -> dict:
     maybe_initialize_distributed()
     protocol = PROTOCOLS[cfg.protocol]
 
+    # Batch-vs-mesh policy (same rule as train_sr): with no explicit
+    # --n_devices, cap the data axis at the largest divisor of the batch
+    # that fits the slice, so small reference batch sizes (e.g. the quick
+    # runbook's bs=4) train on an 8-chip host instead of refusing. An
+    # explicit --n_devices keeps the hard divisibility guard below.
+    n_devices = cfg.n_devices
+    if n_devices is None and jax.process_count() == 1:
+        avail = jax.device_count()
+        n_devices = auto_data_parallel_size(cfg.batch_size, avail)
+        if n_devices < avail:
+            print(
+                f"[mesh] data axis auto-capped to {n_devices} of {avail} devices "
+                f"(batch_size={cfg.batch_size}).",
+                flush=True,
+            )
+
     # on a >1-device mesh (or multi-host) every train batch must have the
     # compiled shape — a ragged tail cannot shard over the data axis
-    pad_tail = (cfg.n_devices or jax.device_count()) > 1 or jax.process_count() > 1
+    pad_tail = (n_devices or jax.device_count()) > 1 or jax.process_count() > 1
 
     train_ds, train_count = build_isic_dataset(
         cfg.train_images,
@@ -139,7 +160,7 @@ def train(cfg) -> dict:
         cosine_decay_steps=(cfg.epochs * max(steps_per_epoch, 1)) if protocol.cosine_schedule else None,
     )
 
-    mesh = make_mesh(cfg.n_devices)
+    mesh = make_mesh(n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
     # batch_size is per-process: the global batch (batch_size x process_count)
     # must split evenly over the data axis (train_sr uses the same rule)

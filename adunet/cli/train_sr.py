@@ -118,7 +118,12 @@ def train(cfg) -> dict:
     from adunet.evaluate import infer_eval_shave
     from adunet.losses import build_losses_and_metrics, make_perceptual_fn
     from adunet.models import build_super_resolution_unet
-    from adunet.parallel import make_mesh, maybe_initialize_distributed, replicate
+    from adunet.parallel import (
+        auto_data_parallel_size,
+        make_mesh,
+        maybe_initialize_distributed,
+        replicate,
+    )
     from adunet.parallel.distributed import process_seed, process_shard
     from adunet.train import (
         CheckpointManager,
@@ -236,12 +241,33 @@ def train(cfg) -> dict:
         )
     loss_fn, _metrics = build_losses_and_metrics(cfg.loss, perceptual_fn=perceptual_fn)
 
+    # Batch-vs-mesh policy: with no explicit --n_devices (single-process,
+    # no model sharding), cap the data axis at the largest divisor of the
+    # micro-batch that fits the slice — the reference's own sweep tables go
+    # down to batch 1-2 (run_experiment_adaptive_depth.sh:47-55) and must
+    # still train on an 8-chip host. Explicit --n_devices keeps the hard
+    # divisibility guard: a stated request should fail loudly, not shrink.
+    accum = getattr(cfg, "grad_accum", 1) or 1
+    n_devices = cfg.n_devices
+    if (
+        n_devices is None
+        and cfg.model_shards <= 1
+        and jax.process_count() == 1
+    ):
+        avail = jax.device_count()
+        n_devices = auto_data_parallel_size(cfg.batch_size, avail, micro_factor=accum)
+        if n_devices < avail:
+            print(
+                f"[mesh] data axis auto-capped to {n_devices} of {avail} devices "
+                f"(batch_size={cfg.batch_size}, grad_accum={accum}).",
+                flush=True,
+            )
     if cfg.model_shards > 1:
         from adunet.parallel import make_dp_model_mesh, shard_state
 
-        mesh = make_dp_model_mesh(cfg.model_shards, cfg.n_devices)
+        mesh = make_dp_model_mesh(cfg.model_shards, n_devices)
     else:
-        mesh = make_mesh(cfg.n_devices)
+        mesh = make_mesh(n_devices)
     n_dev = int(np.prod(mesh.devices.shape))
     dp_size = mesh.shape["data"]
     # batch_size is per-process: the global batch (batch_size x process_count)
@@ -252,7 +278,6 @@ def train(cfg) -> dict:
             f"batch_size={cfg.batch_size} must be divisible by the per-process data-axis "
             f"share ({local_dp}); pass --n_devices/--model_shards or adjust --batch_size."
         )
-    accum = getattr(cfg, "grad_accum", 1) or 1
     if accum > 1:
         if cfg.batch_size % (accum * local_dp) != 0:
             raise ValueError(

@@ -4,6 +4,7 @@ from adunet.parallel.distributed import maybe_initialize_distributed
 from adunet.parallel.mesh import (
     make_mesh,
     make_dp_spatial_mesh,
+    auto_data_parallel_size,
     replicated_sharding,
     batch_sharding,
     shard_batch,
@@ -20,6 +21,7 @@ __all__ = [
     "maybe_initialize_distributed",
     "make_mesh",
     "make_dp_spatial_mesh",
+    "auto_data_parallel_size",
     "make_dp_model_mesh",
     "channel_partition_spec",
     "shard_params",

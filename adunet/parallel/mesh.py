@@ -23,12 +23,46 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "make_dp_spatial_mesh",
+    "auto_data_parallel_size",
     "replicated_sharding",
     "batch_sharding",
     "shard_batch",
     "pad_and_shard_ragged",
     "replicate",
 ]
+
+
+def auto_data_parallel_size(
+    batch_size: int,
+    n_available: Optional[int] = None,
+    micro_factor: int = 1,
+) -> int:
+    """Largest data-axis extent that evenly splits the (micro-)batch.
+
+    Policy for batch < mesh (single-process): the reference's own sweep
+    tables go down to batch 1-2 at scales 0.7/0.8
+    (run_experiment_adaptive_depth.sh:47-55), which cannot shard over an
+    8-chip data axis. Rather than refuse, trainers cap the data axis at the
+    largest divisor of the micro-batch that fits the available devices —
+    batch 4 on 8 chips trains 4-way data-parallel, batch 1 single-chip.
+    ``micro_factor`` is the gradient-accumulation factor: with accumulation
+    the unit that must split evenly is the micro-batch
+    ``batch_size / micro_factor``.
+    """
+    if batch_size < 1:
+        raise ValueError(f"batch_size must be >= 1, got {batch_size}.")
+    micro_factor = max(1, micro_factor)
+    if batch_size % micro_factor != 0:
+        raise ValueError(
+            f"batch_size={batch_size} must be divisible by grad_accum={micro_factor}."
+        )
+    if n_available is None:
+        n_available = jax.device_count()
+    micro = batch_size // micro_factor
+    for d in range(min(micro, n_available), 0, -1):
+        if micro % d == 0:
+            return d
+    return 1
 
 
 def make_mesh(
