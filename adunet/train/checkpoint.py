@@ -90,7 +90,19 @@ class CheckpointManager:
         # entry point below barriers first.
         self.async_save = async_save
 
-    def save(self, step: int, state: TrainState, metrics: Optional[Dict[str, float]] = None) -> None:
+    def save(
+        self,
+        step: int,
+        state: TrainState,
+        metrics: Optional[Dict[str, float]] = None,
+        force: bool = False,
+    ) -> None:
+        """Persist a checkpoint at ``step``.
+
+        ``force`` bypasses Orbax's should_save gate, which silently DROPS
+        saves at steps <= latest_step — required for the post-fit best-epoch
+        backfill, whose step precedes the final epoch's by construction.
+        (force never overwrites an existing step; callers guard that.)"""
         # ±inf is a legitimate monitored value (val PSNR on identical shaved
         # patches is +inf — fit._improved deliberately treats it as a best).
         # Orbax metrics must be JSON-serialisable, so encode infinities as
@@ -112,6 +124,7 @@ class CheckpointManager:
             step,
             args=ocp.args.StandardSave(state_to_pytree(state)),
             metrics=metrics,
+            force=force,
         )
         if not self.async_save:
             self._mngr.wait_until_finished()

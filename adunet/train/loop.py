@@ -234,6 +234,8 @@ def fit(
     best_epoch: Optional[int] = None
     best_params_host = None
     best_stats_host = None
+    best_pool: Dict[str, float] = {}
+    best_on_disk = True  # vacuously true until a best exists
     wait = 0
     stopped_early = False
 
@@ -505,6 +507,8 @@ def fit(
                 if _improved(current, best_metric, monitor_mode):
                     best_metric = current
                     best_epoch = epoch + 1
+                    best_pool = dict(monitored_pool)
+                    best_on_disk = saved_this_epoch
                     wait = 0
                     if restore_best_weights:
                         # retain the best weights as a DEVICE-side copy
@@ -519,6 +523,12 @@ def fit(
                                 _device_copy(state.batch_stats)
                                 if state.batch_stats is not None else None
                             )
+                            # jit dispatch is async: an OOM from the extra
+                            # full-params copy would otherwise surface in the
+                            # NEXT train step, outside this fallback
+                            jax.block_until_ready(best_params_dev)
+                            if best_stats_dev is not None:
+                                jax.block_until_ready(best_stats_dev)
                         except Exception:
                             best_params_dev = jax.device_get(state.params)
                             best_stats_dev = (
@@ -572,6 +582,26 @@ def fit(
                 state = state.replace(
                     batch_stats=_put_like(best_stats_host, state.batch_stats)
                 )
+            if ckpt is not None and not best_on_disk and best_epoch is not None:
+                # A sparse ckpt_every cadence (or an early stop between
+                # cadence points) can leave the run's true-best epoch with no
+                # on-disk checkpoint — downstream restore_best consumers
+                # (evaluate --restore_best, export) would then load weights up
+                # to ckpt_every-1 epochs worse than the best the run reported.
+                # Persist the restored-best state once, keyed by its epoch and
+                # carrying its monitored metrics so best-step selection agrees
+                # with the in-memory record. (The saved opt_state is the final
+                # epoch's; params/batch_stats are the best epoch's — weight
+                # consumers are unaffected, and exact-optimizer resume uses
+                # the LATEST checkpoint, which this save does not displace.)
+                try:
+                    # force: Orbax's should_save gate silently drops saves at
+                    # steps <= latest_step, and the backfilled best epoch
+                    # precedes the final/stop epoch by construction
+                    ckpt.save(best_epoch, state, metrics=best_pool, force=True)
+                except Exception as exc:  # keep fit() usable even if the
+                    # manager refuses an out-of-order step on some backend
+                    print(f"[fit] best-epoch backfill save failed: {exc}", flush=True)
 
     finally:
         # close on EVERY exit path, not just the clean one (rows flush per

@@ -1085,3 +1085,81 @@ def test_fit_ckpt_every_cadence_and_final_save(tmp_path):
     assert result.stopped_early
     assert calls, "the early-stop epoch must be checkpointed"
     assert calls[-1] == len(result.history)  # saved at the stop epoch
+
+
+def test_fit_backfills_best_epoch_checkpoint_under_sparse_cadence(tmp_path):
+    """With ckpt_every > 1, a best epoch between cadence points must still end
+    up on disk: disk restore_best would otherwise hand downstream consumers
+    (evaluate --restore_best, export) weights up to ckpt_every-1 epochs worse
+    than the run's reported best — breaking the reference's every-epoch
+    ModelCheckpoint(best) parity (ADVICE r4). The val metric here is scripted
+    off state.step so the best (epoch 3) falls off the 10-epoch cadence."""
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    step = make_sr_train_step(model, loss_fn, donate=False)
+
+    def scripted_val_step(state, batch):
+        # best at step 3 (== epoch 3 with steps_per_epoch=1), worse after
+        s = jnp.asarray(state.step, jnp.float32)
+        return {"loss": (s - 3.0) ** 2}
+
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    ckpt = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", mode="min")
+    result = fit(
+        state, _loop(hr, 4), step, steps_per_epoch=1, epochs=6,
+        val_data=[hr[:4]], val_step=scripted_val_step,
+        monitor="val_loss", monitor_mode="min", patience=0,
+        ckpt=ckpt, ckpt_every=10, verbose=0,
+    )
+    assert result.best_epoch == 3
+    # disk agrees with the in-memory best: restore_best returns the epoch-3
+    # params, which fit() also restored into the returned state. Use a fresh
+    # manager, as the downstream consumers (evaluate --restore_best, export)
+    # do — they never share the trainer's manager instance.
+    ckpt.close()
+    reader = CheckpointManager(tmp_path / "ckpt", monitor="val_loss", mode="min")
+    probe = create_train_state(model, jax.random.key(1), hr[:2], make_optimizer(1e-3))
+    restored = reader.restore_best_weights(probe)
+    reader.close()
+    assert restored is not None
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored.params),
+        jax.tree_util.tree_leaves(result.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_fit_restore_best_with_donated_train_step():
+    """Device-side best-weights retention must survive buffer donation: the
+    production step donates its state, so the retained best must be a fresh
+    copy, not an alias into donated buffers (ADVICE r4). Scripted best at
+    epoch 3; the restored params must equal the epoch-3 snapshot."""
+    model, _ = build_super_resolution_unet(scale=0.5, depth_override=1, input_size=32, base_channels=8)
+    hr = _synthetic_hr(n=8)
+    loss_fn, _ = build_losses_and_metrics("charbonnier")
+    inner = make_sr_train_step(model, loss_fn, donate=True)
+    snaps = []
+
+    def recording_step(state, batch, rng):
+        new_state, metrics = inner(state, batch, rng)
+        snaps.append(jax.device_get(new_state.params))  # fresh buffers
+        return new_state, metrics
+
+    def scripted_val_step(state, batch):
+        s = jnp.asarray(state.step, jnp.float32)
+        return {"loss": (s - 3.0) ** 2}
+
+    state = create_train_state(model, jax.random.key(0), hr[:2], make_optimizer(1e-3))
+    result = fit(
+        state, _loop(hr, 4), recording_step, steps_per_epoch=1, epochs=6,
+        val_data=[hr[:4]], val_step=scripted_val_step,
+        monitor="val_loss", monitor_mode="min", patience=0,
+        restore_best_weights=True, verbose=0,
+    )
+    assert result.best_epoch == 3
+    for a, b in zip(
+        jax.tree_util.tree_leaves(snaps[2]),
+        jax.tree_util.tree_leaves(result.state.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
