@@ -120,13 +120,20 @@ def write_csv(rows: Iterable[Dict[str, float]], output_path: Path) -> None:
 def process_logs(
     logs_root: Path, output_root: Path, pattern: str = "*.log"
 ) -> List[Tuple[str, Path]]:
-    """Export one ``epoch_metrics.csv`` per run directory under *logs_root*.
+    """Export one ``epoch_metrics.csv`` per run found under *logs_root*.
 
-    When a run directory holds several matching transcripts the newest (by
-    name sort) wins — resumed runs append a fresh log per attempt.
+    Two layouts are mined (the reference exporter handles only the first —
+    per-run directories holding ``run-simple-*.log``; sweep drivers here also
+    emit flat ``<run>.log`` files directly in the transcripts dir):
+
+    * one subdirectory per run: the newest (by name sort) matching transcript
+      in each directory wins — resumed runs append a fresh log per attempt;
+    * flat log files directly under *logs_root*: each file is its own run,
+      named by the log's stem.
     """
     results: List[Tuple[str, Path]] = []
-    run_dirs = sorted(child for child in Path(logs_root).iterdir() if child.is_dir())
+    logs_root = Path(logs_root)
+    run_dirs = sorted(child for child in logs_root.iterdir() if child.is_dir())
     for run_dir in run_dirs:
         candidates = sorted(run_dir.glob(pattern))
         if not candidates:
@@ -137,6 +144,15 @@ def process_logs(
         target = Path(output_root) / run_dir.name / "epoch_metrics.csv"
         write_csv(rows, target)
         results.append((run_dir.name, target))
+    for log_file in sorted(logs_root.glob(pattern)):
+        if not log_file.is_file():
+            continue
+        rows = extract_epoch_rows(log_file)
+        if not rows:
+            continue
+        target = Path(output_root) / log_file.stem / "epoch_metrics.csv"
+        write_csv(rows, target)
+        results.append((log_file.stem, target))
     return results
 
 

@@ -9,6 +9,10 @@ cd /root/repo
 BASE=${BASE:-/tmp/r4sweep}
 DST=${DST:-experiments/round4_sweep}
 EXPERIMENTS=${EXPERIMENTS:-"adaptive_depth fixed_depth"}
+# corpus provenance pinned into GOLDEN.json so the re-derivation goldens
+# regenerate the RIGHT corpus (ADVICE r4: a natural-mode sweep must not be
+# silently compared against a regenerated structured corpus)
+CORPUS_MODE=${CORPUS_MODE:-structured}
 
 for exp in $EXPERIMENTS; do
   src=$BASE/$exp
@@ -68,6 +72,14 @@ for exp in "$EXPERIMENTS".split():
             "epochs_ran": len(rows),
         }
     golden[exp] = table
+golden["_corpus"] = {
+    "mode": "$CORPUS_MODE",
+    "train_seed": 0,
+    "eval_seed": 777,
+    "n_eval": 12,
+    "size": 512,
+}
 (dst / "GOLDEN.json").write_text(json.dumps(golden, indent=2) + "\n")
-print(f"GOLDEN.json: {sum(len(v) for v in golden.values())} runs pinned")
+n_runs = sum(len(v) for k, v in golden.items() if not k.startswith("_"))
+print(f"GOLDEN.json: {n_runs} runs pinned (corpus mode: $CORPUS_MODE)")
 EOF

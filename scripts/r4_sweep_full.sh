@@ -44,8 +44,11 @@ ppi_for () {
 # multi-minute device->host state pull per checkpoint through this
 # environment's tunnel (~12 MB/s measured: 8s for the 8.6M state), so deep
 # runs checkpoint every 10 epochs (final/early-stop epoch always saves) with
-# async Orbax writes. Cadence is semantics-neutral for training math — only
-# what lands on disk changes; the quality table is unaffected.
+# async Orbax writes. Cadence is semantics-neutral for training math, and
+# since round 5 it is also quality-neutral on disk: fit() backfills a
+# checkpoint of the restored-best state whenever the cadence skipped the
+# best epoch (adunet/train/loop.py), so --auto_eval's restore_best always
+# evaluates the run's true best regardless of --ckpt_every.
 ckpt_flags_for () {
   local exp=$1 scale=$2
   if [ "$exp" = adaptive_depth ]; then

@@ -42,6 +42,26 @@ def test_export_log_metrics_roundtrip(tmp_path, fmt):
     assert emitted and emitted[0][1].exists()
 
 
+def test_export_log_metrics_flat_layout(tmp_path):
+    """Sweep drivers emit flat ``<run>.log`` transcripts (no per-run dirs);
+    each file must be mined as its own run, named by the log stem — the
+    round-4 sweep's transcripts/ dir is exactly this layout."""
+    from adunet.cli.export_log_metrics import process_logs
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    for scale in ("0.2", "0.5"):
+        _write_log(logs / f"run-simple-scale{scale}.log", "ours")
+    # tail noise lines (the trainer's per-epoch "[epoch tail: …]" diagnostics)
+    with (logs / "run-simple-scale0.2.log").open("a") as fh:
+        fh.write("  [epoch tail: val 0.3s ckpt 3.5s best-pull 0.0s]\n")
+
+    emitted = dict(process_logs(logs, tmp_path / "csv"))
+    assert set(emitted) == {"run-simple-scale0.2", "run-simple-scale0.5"}
+    rows = (tmp_path / "csv" / "run-simple-scale0.2" / "epoch_metrics.csv").read_text().splitlines()
+    assert len(rows) == 4  # header + 3 epochs; the tail line adds no row
+
+
 def test_analyse_and_summaries(tmp_path):
     from adunet.cli.export_log_metrics import process_logs
     from adunet.cli.analyse_experiment_metrics import load_summaries

@@ -198,13 +198,21 @@ def test_round4_trained_sweep_goldens():
     import json
 
     root = _round4_root()
-    if not (root / "GOLDEN.json").exists():
-        pytest.skip("round-4 sweep artifacts not present (run scripts/r4_sweep_full.sh + r4_sweep_collect.sh)")
+    # REQUIRED since round 5 (VERDICT r4 #6): the artifacts are committed, so
+    # a missing GOLDEN.json means the quality claims are silently un-tested —
+    # fail loudly instead of skipping.
+    assert (root / "GOLDEN.json").exists(), (
+        "round-4 sweep artifacts missing; they are committed under "
+        "experiments/round4_sweep (regenerate: scripts/r4_sweep_full.sh + "
+        "r4_sweep_collect.sh)"
+    )
     golden = json.loads((root / "GOLDEN.json").read_text())
     assert set(golden) >= {"adaptive_depth", "fixed_depth"}
     assert len(golden["adaptive_depth"]) == 7 and len(golden["fixed_depth"]) == 8
 
     for exp, table in golden.items():
+        if exp.startswith("_"):  # provenance metadata, not a run table
+            continue
         for run, pin in table.items():
             metrics = json.loads(
                 (root / exp / "evaluation" / f"{run}_eval" / "metrics.json").read_text()
@@ -249,13 +257,22 @@ def test_round4_trained_d1_export_golden_rederived():
         _round4_root() / "adaptive_depth" / "evaluation"
         / "exp_adaptive_depth_scale0.20_depth1_eval" / "metrics.json"
     )
-    if not art_dir.exists() or not metrics_path.exists():
-        pytest.skip("round-4 d1 export not present (run scripts/r4_sweep_collect.sh)")
+    # REQUIRED since round 5 (VERDICT r4 #6): committed artifacts, no skip.
+    assert art_dir.exists() and metrics_path.exists(), (
+        "round-4 d1 export artifacts missing (regenerate: scripts/r4_sweep_collect.sh)"
+    )
 
     pinned = json.loads(metrics_path.read_text())
 
     sys.path.insert(0, str(root / "scripts"))
-    from make_synth_corpus import synth_image
+    # corpus provenance is pinned in GOLDEN.json (ADVICE r4): a natural-mode
+    # sweep must regenerate the natural corpus here, not the structured one
+    golden_meta = json.loads((_round4_root() / "GOLDEN.json").read_text()).get("_corpus", {})
+    corpus_mode = golden_meta.get("mode", "structured")
+    eval_seed = int(golden_meta.get("eval_seed", 777))
+    from make_synth_corpus import synth_image, synth_image_natural
+
+    make_image = synth_image_natural if corpus_mode == "natural" else synth_image
 
     from adunet.export import load_artifact
     from adunet.metrics.psnr_ssim import msssim_power_factors_for, ssim_multiscale
@@ -265,10 +282,10 @@ def test_round4_trained_d1_export_golden_rederived():
     call, manifest = load_artifact(art_dir)
     bsz, patch = int(manifest["input_shape"][0]), int(manifest["input_shape"][1])
 
-    rng = np.random.default_rng(777)
+    rng = np.random.default_rng(eval_seed)
     tiles = []
     for _ in range(12):
-        img = synth_image(rng, 512)
+        img = make_image(rng, 512)
         img = (np.round(img * 255).astype(np.uint8).astype(np.float32)) / 255.0
         for ty in range(0, 512, patch):
             for tx in range(0, 512, patch):
