@@ -149,10 +149,42 @@ def _sr_objective_factory(args):
             "batch_size": trial.suggest_categorical("batch_size", [4, 8, 16]),
         }
 
+    # The sequential study drives a single-lane batched runner rather than
+    # run_config: the runner traces lr (inject_hyperparams) and the loss
+    # weights (data), so the whole study compiles ONE train/val program per
+    # batch-size bucket. run_config bakes the trial's floats into the jit —
+    # per-trial programs are fine locally but each costs a multi-minute
+    # remote compile through this environment's tunnel. Lane 0 of the runner
+    # reproduces the sequential trial (same init seed, shuffle stream, and
+    # combined-loss math — asserted to rtol 2e-4 by
+    # tests/test_tune_parallel.py::test_batched_lanes_match_sequential_trials),
+    # so values and pruning decisions are unchanged.
+    seq_runner_box: list = []
+
     def objective(trial) -> float:
         p = suggest_params(trial)
-        return run_config(p["lr"], p["alpha"], p["beta"], p["gamma"],
-                          p["batch_size"], args.epochs, trial=trial)
+        if not seq_runner_box:
+            from adunet.tune import BatchedVanillaSRTuner
+
+            seq_runner_box.append(BatchedVanillaSRTuner(
+                lr_images, hr_images, tr_idx, va_idx,
+                base_channels=args.sr_base_channels, seed=args.seed,
+                perceptual_fn=perceptual_fn,
+            ))
+        pruned = False
+
+        def on_epoch(epoch: int, last_vals) -> bool:
+            nonlocal pruned
+            trial.report(last_vals[0], epoch)
+            pruned = trial.should_prune()
+            return pruned
+
+        curve = seq_runner_box[0].run_group(
+            [p], int(p["batch_size"]), args.epochs, on_epoch=on_epoch
+        )[0]
+        if pruned:
+            raise TrialPruned()
+        return min(curve)
 
     def make_runner():
         """Mesh-parallel trial runner over the same data/split/seed/model."""

@@ -233,7 +233,11 @@ class BatchedVanillaSRTuner:
     # ------------------------------------------------------------- public
 
     def run_group(
-        self, configs: Sequence[Dict[str, float]], batch_size: int, epochs: int
+        self,
+        configs: Sequence[Dict[str, float]],
+        batch_size: int,
+        epochs: int,
+        on_epoch=None,
     ) -> List[List[float]]:
         """Train one group of same-batch-size trials in lockstep.
 
@@ -241,7 +245,16 @@ class BatchedVanillaSRTuner:
         per-trial validation-loss curve (one value per epoch), from which the
         caller reports/tells (the sequential objective's value is the curve
         minimum).
-        """
+
+        ``on_epoch(epoch, last_vals)``: optional callback with the epoch's
+        per-trial validation losses; returning truthy stops the whole group
+        early (curves end at that epoch). Single-lane groups use this for
+        live median pruning — the sequential study drives THIS runner rather
+        than a per-trial jit so the trial hyperparameters (lr via
+        inject_hyperparams, loss weights as data) stay traced and the study
+        compiles one program per batch size instead of one per trial; on a
+        remote-compile backend a per-trial compile costs more wall-clock
+        than the trial's own training."""
         jax, jnp = self._jax, self._jnp
         from adunet.data import ArrayDataset
         from adunet.train import repeat
@@ -284,4 +297,6 @@ class BatchedVanillaSRTuner:
             epoch_val = np.average(np.stack(vals, axis=0), axis=0, weights=weights)
             for lane in range(width):
                 curves[lane].append(float(epoch_val[lane]))
+            if on_epoch is not None and on_epoch(_epoch, [c[-1] for c in curves[:n_real]]):
+                break
         return curves[:n_real]

@@ -275,6 +275,28 @@ def test_lane_width_pad_exact_and_single_compile(sr_corpus, perceptual_fn):
     assert (train_step._cache_size(), val_step._cache_size()) == before
 
 
+def test_run_group_on_epoch_early_stop(sr_corpus, perceptual_fn):
+    """on_epoch sees each epoch's per-trial val losses; returning truthy
+    truncates the curves at that epoch (the single-lane live-pruning hook
+    used by the sequential study)."""
+    lr_images, hr_images, tr_idx, va_idx = sr_corpus
+    tuner = BatchedVanillaSRTuner(
+        lr_images, hr_images, tr_idx, va_idx,
+        base_channels=BASE_CH, seed=SEED, perceptual_fn=perceptual_fn,
+    )
+    full = tuner.run_group(CONFIGS[:1], batch_size=4, epochs=3)[0]
+
+    seen = []
+    stopped = tuner.run_group(
+        CONFIGS[:1], batch_size=4, epochs=3,
+        on_epoch=lambda epoch, vals: (seen.append((epoch, list(vals))) or epoch >= 1),
+    )[0]
+    assert [e for e, _ in seen] == [0, 1]
+    assert all(len(v) == 1 for _, v in seen)
+    assert len(stopped) == 2
+    np.testing.assert_allclose(stopped, full[:2], rtol=2e-4, atol=1e-6)
+
+
 # ------------------------------------------------------------------ CLI e2e
 
 
