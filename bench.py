@@ -252,12 +252,23 @@ def main() -> None:
         raise RuntimeError(f"bench failed at all batch sizes: {last_err}")
 
     V5E_PEAK_BF16_TFLOPS = 197.0  # per-chip bf16 peak, TPU v5e
+    # The peak constant is v5e-specific: utilization fields would be silently
+    # wrong on any other backend (including CPU smoke runs), so they are only
+    # emitted when the program actually ran on a TPU (ADVICE r4).
+    emit_mfu = jax.default_backend() not in ("cpu",)
 
-    def step_flops(apply_model, batch_size: int) -> float:
+    def step_flops(apply_model, batch_size: int, use_compiled: bool = True) -> float:
         """Compiler-certified FLOPs of ONE train step (degrade + fwd + bwd +
         Adam) for a model, via XLA cost_analysis on the compiled program —
         the same accounting as scripts/r3_flops_audit.py, emitted here so the
-        round's MFU headline is self-contained (VERDICT r3 #7)."""
+        round's MFU headline is self-contained (VERDICT r3 #7).
+
+        ``use_compiled=False`` prefers the lowering-level HLO count —
+        used for the non-remat twin of a remat model, whose program is never
+        executed (counting model FLOPs without paying a backend compile).
+        The axon PJRT plugin returns ``None`` from the lowering-level call
+        (measured r5), so both paths fall back to the other before failing —
+        a compile is one-time thanks to the persistent compile cache."""
         st = create_train_state(
             apply_model, jax.random.key(0), jnp.zeros((1, PX, PX, 3)), make_optimizer(1e-4)
         )
@@ -275,13 +286,25 @@ def main() -> None:
             return state.apply_gradients(grads=grads), loss
 
         lowered = jax.jit(step).lower(st, hr)
-        try:
-            cost = lowered.compile().cost_analysis()
-        except Exception:
-            # some PJRT plugins don't expose compiled cost analysis; the
-            # lowering-level estimate is the same HLO-flop count
-            cost = lowered.cost_analysis()
+
+        def _compiled_cost():
+            return lowered.compile().cost_analysis()
+
+        def _lowering_cost():
+            return lowered.cost_analysis()
+
+        order = (_compiled_cost, _lowering_cost) if use_compiled else (_lowering_cost, _compiled_cost)
+        cost = None
+        for get_cost in order:
+            try:
+                cost = get_cost()
+            except Exception:
+                cost = None
+            if cost is not None:
+                break
         cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if cost is None:
+            raise RuntimeError("cost_analysis unavailable from both lowering and compiled program")
         flops = float(cost["flops"])
         if not flops > 0:
             raise RuntimeError(f"cost_analysis returned non-positive flops: {flops}")
@@ -436,7 +459,13 @@ def main() -> None:
     try:
         fl = step_flops(model, batch_used)
         payload["tflops_per_img_flagship"] = round(fl / batch_used / 1e12, 3)
-        payload["mfu_flagship"] = round(mfu_of(value, fl, batch_used), 3)
+        if emit_mfu:
+            payload["mfu_flagship"] = round(mfu_of(value, fl, batch_used), 3)
+        else:
+            payload["mfu_note"] = (
+                f"utilization skipped on backend '{jax.default_backend()}' "
+                "(peak constant is TPU v5e bf16)"
+            )
     except Exception as exc:
         payload["mfu_flagship_error"] = str(exc)[:200]
     try:
@@ -478,12 +507,29 @@ def main() -> None:
         deep_ips = scan_diff_throughput(
             make_deep_runner, deep_state, jax.random.key(7), deep_bs
         )
-        payload["deep_train_imgs_per_sec_scale0.8_depth5_bs8"] = round(deep_ips, 2)
+        payload[f"deep_train_imgs_per_sec_scale0.8_depth5_bs{deep_bs}"] = round(deep_ips, 2)
         # reference: 977 ms/step at batch 1 on the 2080 Ti (BASELINE.md)
         payload["vs_baseline_deep"] = round(deep_ips / (1.0 / 0.977), 2)
-        deep_fl = step_flops(deep_model, deep_bs)
-        payload["tflops_per_img_deep"] = round(deep_fl / deep_bs / 1e12, 3)
-        payload["mfu_deep"] = round(mfu_of(deep_ips, deep_fl, deep_bs), 3)
+        # The executed program uses remat_levels=2, so its compiled FLOPs
+        # include rematerialized recompute — utilization against THAT count
+        # is hardware-flops utilization (HFU). True MFU counts model FLOPs
+        # from a non-remat lowering of the same architecture (ADVICE r4).
+        # The two counts are computed independently so one path failing
+        # (e.g. the axon plugin's None lowering cost) cannot lose the other.
+        try:
+            deep_fl_hw = step_flops(deep_model, deep_bs)
+            payload["tflops_per_img_deep_hw"] = round(deep_fl_hw / deep_bs / 1e12, 3)
+            if emit_mfu:
+                payload["hfu_deep"] = round(mfu_of(deep_ips, deep_fl_hw, deep_bs), 3)
+        except Exception as exc:
+            payload["hfu_deep_error"] = str(exc)[:200]
+        deep_model_plain, _ = build_super_resolution_unet(
+            scale=0.8, depth_override=5, input_size=PX, dtype=jnp.bfloat16,
+        )
+        deep_fl_model = step_flops(deep_model_plain, deep_bs, use_compiled=False)
+        payload["tflops_per_img_deep"] = round(deep_fl_model / deep_bs / 1e12, 3)
+        if emit_mfu:
+            payload["mfu_deep"] = round(mfu_of(deep_ips, deep_fl_model, deep_bs), 3)
     except Exception as exc:
         payload["mfu_deep_error"] = str(exc)[:200]
 
