@@ -28,6 +28,13 @@ def parse_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--results", type=Path, default=Path("runs/tune_results.json"))
     parser.add_argument("--pruner", choices=["median", "hyperband", "none"], default="median")
+    parser.add_argument("--pruner-warmup-steps", type=int, default=1,
+                        help="No pruning before this many reported epochs per trial. "
+                             "Raise for identity-start SR studies: the fidelity study "
+                             "(experiments/round4_sweep/tune_fidelity) measured the default "
+                             "median rule discarding the true top-2 slow-starting configs.")
+    parser.add_argument("--pruner-warmup-trials", type=int, default=2,
+                        help="No pruning before this many completed reference trials.")
     parser.add_argument("--sampler", choices=["tpe", "random"], default="tpe")
     parser.add_argument("--parallel-trials", type=int, default=1,
                         help="Evaluate this many trials simultaneously as vmapped lanes "
@@ -382,12 +389,16 @@ def main(argv: Optional[List[str]] = None) -> None:
         study = create_study(
             direction=direction, seed=args.seed, pruner=args.pruner,
             sampler=args.sampler, prefer_optuna=False,
+            pruner_warmup_trials=args.pruner_warmup_trials,
+            pruner_warmup_steps=args.pruner_warmup_steps,
         )
         suggest_params, make_runner = parallel_support
         run_parallel_study(study, args, suggest_params, make_runner)
     else:
         study = create_study(
-            direction=direction, seed=args.seed, pruner=args.pruner, sampler=args.sampler
+            direction=direction, seed=args.seed, pruner=args.pruner, sampler=args.sampler,
+            pruner_warmup_trials=args.pruner_warmup_trials,
+            pruner_warmup_steps=args.pruner_warmup_steps,
         )
         study.optimize(objective, n_trials=args.n_trials)
 

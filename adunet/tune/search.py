@@ -408,8 +408,18 @@ def create_study(
     pruner: str = "median",
     sampler: str = "tpe",
     prefer_optuna: bool = True,
+    pruner_warmup_trials: int = 2,
+    pruner_warmup_steps: int = 1,
 ):
-    """Return an optuna study when available, else the built-in Study."""
+    """Return an optuna study when available, else the built-in Study.
+
+    ``pruner_warmup_steps``/``pruner_warmup_trials``: no trial is pruned
+    before this many reported steps / completed reference trials. The
+    fidelity study (experiments/round4_sweep/tune_fidelity) measured the
+    default median rule pruning the true top-2 configs on the identity-start
+    SR landscape — slow-starting low-lr trials sit in a plateau the early
+    medians punish — so short-budget studies should raise the step warm-up
+    (or use --pruner none)."""
     if prefer_optuna:
         try:  # pragma: no cover - optuna not in this image
             import optuna
@@ -420,7 +430,10 @@ def create_study(
                 else optuna.samplers.RandomSampler(seed=seed)
             )
             if pruner == "median":
-                opruner = optuna.pruners.MedianPruner()
+                opruner = optuna.pruners.MedianPruner(
+                    n_startup_trials=pruner_warmup_trials,
+                    n_warmup_steps=pruner_warmup_steps,
+                )
             elif pruner == "hyperband":
                 opruner = optuna.pruners.HyperbandPruner()
             else:
@@ -428,4 +441,7 @@ def create_study(
             return optuna.create_study(direction=direction, sampler=osampler, pruner=opruner)
         except ImportError:
             pass
-    return Study(direction=direction, seed=seed, pruner=pruner, sampler=sampler)
+    return Study(
+        direction=direction, seed=seed, pruner=pruner, sampler=sampler,
+        n_warmup_trials=pruner_warmup_trials, n_warmup_steps=pruner_warmup_steps,
+    )

@@ -49,6 +49,42 @@ def test_median_pruning():
     assert study.best_value == min(t.value for t in study.completed_trials)
 
 
+def test_pruner_warmup_steps_delays_pruning():
+    """create_study plumbs the warm-up knobs: with n_warmup_steps=2, no
+    trial may be pruned at reported steps 0 or 1 — the guard the fidelity
+    study (experiments/round4_sweep/tune_fidelity) showed short-budget
+    identity-start SR studies need."""
+    from adunet.tune import create_study
+
+    pruned_at = []
+
+    def objective(trial):
+        x = trial.suggest_float("x", 0, 1)
+        for step in range(4):
+            # adversarial curve: terrible early, best-ever late
+            trial.report(10.0 - x if step < 3 else -x, step)
+            if trial.should_prune():
+                pruned_at.append(step)
+                raise TrialPruned()
+        return -x
+
+    study = create_study(
+        direction="minimize", seed=0, prefer_optuna=False,
+        pruner_warmup_trials=2, pruner_warmup_steps=2,
+    )
+    study.optimize(objective, n_trials=12)
+    assert all(step >= 2 for step in pruned_at)
+
+    # warm-up 0 on the same curves prunes earlier (the knob is live)
+    pruned_at.clear()
+    study0 = create_study(
+        direction="minimize", seed=0, prefer_optuna=False,
+        pruner_warmup_trials=2, pruner_warmup_steps=0,
+    )
+    study0.optimize(objective, n_trials=12)
+    assert pruned_at and min(pruned_at) < 2
+
+
 def test_results_payload_roundtrip(tmp_path):
     study = Study(seed=1)
     study.optimize(lambda t: t.suggest_float("x", 0, 1), 3)
