@@ -39,8 +39,11 @@ done
 # int8 AOT export of the trained depth-1 run: small enough to check in
 # (~0.6 MB) and it pins the TRAINED pipeline at a depth/shave the flagship
 # golden (d3, shave 4) does not cover — tests/test_golden_eval.py re-derives
-# its eval on CPU from first principles.
-if [ -d "$BASE/adaptive_depth/models/unet_adaptive_scale0.20_depth1" ]; then
+# its eval on CPU from first principles. DO_EXPORT=0 skips (e.g. the
+# round-5 natural-corpus collect, which only needs the quality table and
+# must not claim the chip while another run holds it).
+DO_EXPORT=${DO_EXPORT:-1}
+if [ "$DO_EXPORT" = 1 ] && [ -d "$BASE/adaptive_depth/models/unet_adaptive_scale0.20_depth1" ]; then
   PYTHONPATH=/root/repo:/root/.axon_site python -m adunet.cli.export_model \
     --model-path "$BASE/adaptive_depth/models/unet_adaptive_scale0.20_depth1" \
     --scale 0.2 --patch-size 256 --batch-size 8 --quantize int8 \

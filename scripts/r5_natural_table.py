@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Round-5 natural-corpus comparison table (VERDICT r4 #5).
+
+Prints the markdown table that puts the adaptive-depth (E2) PSNR-vs-scale
+curve side by side across three corpora:
+
+  * natural   — this repo's 1/f-spectrum synthetic corpus
+                (scripts/make_synth_corpus.py --mode natural), trained by
+                scripts/r5_natural_sweep.sh, pinned in
+                experiments/round5_natural/GOLDEN.json;
+  * structured — the round-4 sweep corpus (experiments/round4_sweep/GOLDEN.json);
+  * DIV2K      — the reference's own trained numbers from
+                 Super_resolution/experiments/experiment_2_adaptive_depth/
+                 plots/summary_metrics.csv:1-10 (via BASELINE.md), the only
+                 real-photo anchor available (DIV2K itself is absent here).
+
+The point of the natural arm: the structured corpus saturates ~53 dB (its
+statistics are easy), so only the CURVE SHAPE is comparable to the
+reference's rising 32->41 dB DIV2K band. The 1/f corpus's identity-PSNR
+anchors sit in the DIV2K band, making the trained curve shape-comparable
+in absolute terms too.
+"""
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parents[1]
+
+# Reference E2 (adaptive depth) eval PSNR(Y) on DIV2K, per BASELINE.md
+# ("Quality — Experiment 2"); source summary_metrics.csv:1-10. The 0.2
+# column is "inf" in the reference CSV (degenerate eval artifact) — shown
+# as the literal the reference shipped.
+DIV2K_E2_PSNR = {
+    0.2: "inf*",
+    0.3: 32.321,
+    0.4: 34.434,
+    0.5: 37.649,
+    0.6: 38.956,
+    0.7: 40.012,
+    0.8: 40.886,
+}
+
+
+def load_table(golden_path: Path) -> dict[float, dict]:
+    if not golden_path.exists():
+        return {}
+    golden = json.loads(golden_path.read_text())
+    out = {}
+    for run, pin in golden.get("adaptive_depth", {}).items():
+        m = re.search(r"scale(\d+\.\d+)", run)
+        if m:
+            out[round(float(m.group(1)), 2)] = pin
+    return out
+
+
+def fmt(v, nd=2):
+    if v is None:
+        return "—"
+    if isinstance(v, str):
+        return v
+    return f"{v:.{nd}f}"
+
+
+def main() -> None:
+    natural = load_table(ROOT / "experiments/round5_natural/GOLDEN.json")
+    structured = load_table(ROOT / "experiments/round4_sweep/GOLDEN.json")
+    scales = sorted(set(natural) | set(structured))
+
+    print(
+        "| scale | natural identity anchor (val PSNR ep1) | natural trained eval "
+        "PSNR(Y) | structured trained eval PSNR(Y) | reference DIV2K E2 PSNR(Y) |"
+    )
+    print("|---|---|---|---|---|")
+    for s in scales:
+        nat = natural.get(s)
+        struc = structured.get(s)
+        print(
+            f"| {s} | {fmt(nat and nat['val_psnr_epoch1'])} | "
+            f"{fmt(nat and nat['psnr_mean'])} | "
+            f"{fmt(struc and struc['psnr_mean'])} | "
+            f"{fmt(DIV2K_E2_PSNR.get(s))} |"
+        )
+    if natural:
+        anchors = [p["val_psnr_epoch1"] for p in natural.values()]
+        gains = [p["psnr_mean"] - p["val_psnr_epoch1"] for p in natural.values()]
+        print(
+            f"\nnatural identity band: {min(anchors):.2f}–{max(anchors):.2f} dB; "
+            f"trained gain over anchor: {min(gains):+.2f}…{max(gains):+.2f} dB"
+        )
+
+
+if __name__ == "__main__":
+    main()
