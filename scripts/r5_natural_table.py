@@ -19,6 +19,13 @@ statistics are easy), so only the CURVE SHAPE is comparable to the
 reference's rising 32->41 dB DIV2K band. The 1/f corpus's identity-PSNR
 anchors sit in the DIV2K band, making the trained curve shape-comparable
 in absolute terms too.
+
+Anchor column = identity model scored under the EXACT offline eval
+protocol (scripts/r5_identity_anchor.py -> IDENTITY_ANCHORS.json), so the
+"trained gain" row is a same-protocol subtraction. The training loop's
+epoch-1 val PSNR is NOT used as the anchor: patch-level val PSNR is nearly
+flat across scales on both synthetic corpora (grain-dominated), which would
+understate the scale-graded difficulty the eval protocol sees.
 """
 from __future__ import annotations
 
@@ -63,32 +70,45 @@ def fmt(v, nd=2):
     return f"{v:.{nd}f}"
 
 
+def load_anchors() -> dict[float, float]:
+    path = ROOT / "experiments/round5_natural/IDENTITY_ANCHORS.json"
+    if not path.exists():
+        return {}
+    return {round(float(k), 2): v["psnr_mean"]
+            for k, v in json.loads(path.read_text()).items()}
+
+
 def main() -> None:
     natural = load_table(ROOT / "experiments/round5_natural/GOLDEN.json")
     structured = load_table(ROOT / "experiments/round4_sweep/GOLDEN.json")
+    anchors = load_anchors()
     scales = sorted(set(natural) | set(structured))
 
     print(
-        "| scale | natural identity anchor (val PSNR ep1) | natural trained eval "
-        "PSNR(Y) | structured trained eval PSNR(Y) | reference DIV2K E2 PSNR(Y) |"
+        "| scale | natural identity anchor (eval protocol) | natural trained eval "
+        "PSNR(Y) | natural gain | structured trained eval PSNR(Y) | "
+        "reference DIV2K E2 PSNR(Y) |"
     )
-    print("|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|")
     for s in scales:
         nat = natural.get(s)
         struc = structured.get(s)
+        anchor = anchors.get(s)
+        gain = (nat["psnr_mean"] - anchor) if (nat and anchor is not None) else None
         print(
-            f"| {s} | {fmt(nat and nat['val_psnr_epoch1'])} | "
+            f"| {s} | {fmt(anchor)} | "
             f"{fmt(nat and nat['psnr_mean'])} | "
+            f"{'+' if isinstance(gain, float) and gain >= 0 else ''}{fmt(gain)} | "
             f"{fmt(struc and struc['psnr_mean'])} | "
             f"{fmt(DIV2K_E2_PSNR.get(s))} |"
         )
-    if natural:
-        anchors = [p["val_psnr_epoch1"] for p in natural.values()]
-        gains = [p["psnr_mean"] - p["val_psnr_epoch1"] for p in natural.values()]
+    if natural and anchors:
+        band = [anchors[s] for s in sorted(anchors)]
         print(
-            f"\nnatural identity band: {min(anchors):.2f}–{max(anchors):.2f} dB; "
-            f"trained gain over anchor: {min(gains):+.2f}…{max(gains):+.2f} dB"
+            f"\nnatural identity anchors (eval protocol): "
+            f"{', '.join(f'{s:g}->{anchors[s]:.2f}' for s in sorted(anchors))} dB"
         )
+        print(f"anchor spread: {max(band) - min(band):.2f} dB")
 
 
 if __name__ == "__main__":

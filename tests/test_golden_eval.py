@@ -313,3 +313,89 @@ def test_round4_trained_d1_export_golden_rederived():
     np.testing.assert_allclose(np.mean(psnrs), pinned["psnr_mean"], atol=0.15)
     np.testing.assert_allclose(np.mean(ssims), pinned["ssim_mean"], atol=2e-3)
     np.testing.assert_allclose(np.mean(msssims), pinned["msssim_mean"], atol=2e-3)
+
+
+def test_round5_natural_sweep_goldens():
+    """Round-5 natural-corpus trained-table goldens (VERDICT r4 #5): the E2
+    (adaptive-depth) sweep re-run on the 1/f-spectrum corpus
+    (scripts/make_synth_corpus.py --mode natural) whose identity-PSNR
+    anchors at the EVAL protocol sit in the reference's DIV2K band, making
+    the trained PSNR-vs-scale curve shape-comparable to
+    experiment_1_constant_depth_3/plots/summary_metrics.csv:1-9 in absolute
+    terms. Locks artifact<->golden agreement, corpus provenance, the
+    trained-ness criterion, and the rising-band shape.
+
+    Protocol note (reference parity): training/val degrade at the fixed
+    DATA_LR_SHRINK=0.5 regardless of arm scale (train_adaptive_unet.py:60,438),
+    so in-training val anchors are FLAT across arms; the scale-graded
+    anchors live at the offline-eval protocol (IDENTITY_ANCHORS.json,
+    scripts/r5_identity_anchor.py)."""
+    import csv
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "experiments" / "round5_natural"
+    # REQUIRED, not skipped: the artifacts are committed (regenerate:
+    # scripts/r5_natural_sweep.sh + r4_sweep_collect.sh with BASE/DST/
+    # CORPUS_MODE=natural DO_EXPORT=0).
+    assert (root / "GOLDEN.json").exists(), (
+        "round-5 natural-corpus sweep artifacts missing from "
+        "experiments/round5_natural"
+    )
+    golden = json.loads((root / "GOLDEN.json").read_text())
+    assert golden["_corpus"]["mode"] == "natural"
+    table = golden["adaptive_depth"]
+    assert len(table) >= 4
+
+    by_scale = {}
+    for run, pin in table.items():
+        metrics = json.loads(
+            (root / "adaptive_depth" / "evaluation" / f"{run}_eval" / "metrics.json").read_text()
+        )
+        np.testing.assert_allclose(metrics["psnr_mean"], pin["psnr_mean"], rtol=1e-6)
+        np.testing.assert_allclose(metrics["ssim_mean"], pin["ssim_mean"], rtol=1e-6)
+        rows = list(csv.DictReader(
+            (root / "adaptive_depth" / "csv_logs" / run / "epoch_metrics.csv").open()
+        ))
+        assert len(rows) == pin["epochs_ran"]
+        np.testing.assert_allclose(
+            float(rows[0]["val_psnr"]), pin["val_psnr_epoch1"], rtol=1e-6
+        )
+        # trained-ness on the harder corpus: must leave the (flat,
+        # 0.5-shrink) val plateau
+        assert pin["val_psnr_final"] >= pin["val_psnr_epoch1"] + 1.0, (
+            f"{run} never left the identity plateau "
+            f"({pin['val_psnr_epoch1']:.2f} -> {pin['val_psnr_final']:.2f} dB)"
+        )
+        scale = float(run.split("scale")[1].split("_")[0])
+        by_scale[round(scale, 2)] = pin
+
+    # shape comparability with the reference band: identity anchors AT THE
+    # EVAL PROTOCOL must be graded by scale (harsher degradation => lower
+    # identity PSNR), reproducing the DIV2K regime — unlike the training
+    # val anchor, which is flat by reference parity (fixed 0.5 shrink).
+    anchors_by_scale = {
+        round(float(k), 2): v["psnr_mean"]
+        for k, v in json.loads((root / "IDENTITY_ANCHORS.json").read_text()).items()
+    }
+    anchor_vals = [anchors_by_scale[s] for s in sorted(anchors_by_scale)]
+    assert anchor_vals == sorted(anchor_vals) and anchor_vals[-1] - anchor_vals[0] > 2.0, (
+        "eval-protocol identity anchors should rise with scale "
+        f"(got {anchors_by_scale})"
+    )
+    # the trained (0.5-shrink) restorer must beat the identity baseline at
+    # every eval scale — the quality claim of the sweep
+    for s, pin in by_scale.items():
+        assert pin["psnr_mean"] > anchors_by_scale[s], (
+            f"scale {s}: trained eval {pin['psnr_mean']:.2f} dB does not beat "
+            f"the identity anchor {anchors_by_scale[s]:.2f} dB"
+        )
+    scales = sorted(by_scale)
+    evals = [by_scale[s]["psnr_mean"] for s in scales]
+    # rising band from the harshest degradation upward (the structured-corpus
+    # curve saturates with small dips at the top, so assert the band's rise,
+    # not strict monotonicity)
+    assert evals[0] < evals[1] < max(evals[2:]), (
+        f"trained eval PSNR should rise with scale on the natural corpus: "
+        f"{list(zip(scales, evals))}"
+    )
