@@ -11,7 +11,12 @@
 # val/eval PSNR is directly comparable as a "TPU-first redesign" datapoint
 # the reference (fixed 64-wide, train_adaptive_unet.py:249) could not reach.
 #
-# Usage: bash scripts/r5_c128_quality.sh    (chip; ~40 min)
+# Usage: bash scripts/r5_c128_quality.sh    (chip; ~45 min — the every-epoch
+#        34M-param checkpoint pull costs ~14 s/epoch through the tunnel; add
+#        --ckpt_every 10 to the extra_args if re-running where that matters)
+# Collect: mkdir -p /tmp/r5c128_wrap && ln -sfn /tmp/r5c128 /tmp/r5c128_wrap/adaptive_depth
+#          BASE=/tmp/r5c128_wrap DST=experiments/round5_c128 EXPERIMENTS=adaptive_depth \
+#            CORPUS_MODE=structured DO_EXPORT=0 bash scripts/r4_sweep_collect.sh
 set -eo pipefail
 cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site

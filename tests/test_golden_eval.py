@@ -399,3 +399,46 @@ def test_round5_natural_sweep_goldens():
         f"trained eval PSNR should rise with scale on the natural corpus: "
         f"{list(zip(scales, evals))}"
     )
+
+
+def test_round5_c128_quality_golden():
+    """Round-5 beat-the-reference arm (VERDICT r4 #8): the --base_channels
+    128 run (a width the reference cannot reach — its C is a constant,
+    Super_resolution/code/train_adaptive_unet.py:249) trained on the SAME
+    corpus/seeds/budget as the round-4 C=64 scale-0.5 arm must (a) agree
+    with its committed artifacts, (b) share the identity-start anchor with
+    the C=64 run (same init semantics at any width), and (c) convert its
+    4x capacity into strictly better trained quality on both the val and
+    eval protocols."""
+    import csv
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "experiments"
+    golden = json.loads((root / "round5_c128" / "GOLDEN.json").read_text())
+    assert golden["_corpus"]["mode"] == "structured"
+    (run, pin), = golden["adaptive_depth"].items()
+
+    metrics = json.loads(
+        (root / "round5_c128" / "adaptive_depth" / "evaluation" / f"{run}_eval" / "metrics.json").read_text()
+    )
+    np.testing.assert_allclose(metrics["psnr_mean"], pin["psnr_mean"], rtol=1e-6)
+    np.testing.assert_allclose(metrics["ssim_mean"], pin["ssim_mean"], rtol=1e-6)
+    rows = list(csv.DictReader(
+        (root / "round5_c128" / "adaptive_depth" / "csv_logs" / run / "epoch_metrics.csv").open()
+    ))
+    assert len(rows) == pin["epochs_ran"] == 100
+    cfg = json.loads(
+        (root / "round5_c128" / "adaptive_depth" / "run_configs" / f"{run}.json").read_text()
+    )
+    assert cfg["base_channels"] == 128
+
+    c64 = json.loads((root / "round4_sweep" / "GOLDEN.json").read_text())
+    c64_pin = c64["adaptive_depth"][run]  # same run name: same scale/depth
+    # identical identity-start anchor across widths (zero-init head)
+    np.testing.assert_allclose(
+        pin["val_psnr_epoch1"], c64_pin["val_psnr_epoch1"], atol=5e-3
+    )
+    # the TPU-first width beats reference parity on both protocols
+    assert pin["val_psnr_final"] > c64_pin["val_psnr_final"] + 0.2
+    assert pin["psnr_mean"] > c64_pin["psnr_mean"] + 0.2
