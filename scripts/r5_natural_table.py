@@ -50,12 +50,12 @@ DIV2K_E2_PSNR = {
 }
 
 
-def load_table(golden_path: Path) -> dict[float, dict]:
+def load_table(golden_path: Path, experiment: str = "adaptive_depth") -> dict[float, dict]:
     if not golden_path.exists():
         return {}
     golden = json.loads(golden_path.read_text())
     out = {}
-    for run, pin in golden.get("adaptive_depth", {}).items():
+    for run, pin in golden.get(experiment, {}).items():
         m = re.search(r"scale(\d+\.\d+)", run)
         if m:
             out[round(float(m.group(1)), 2)] = pin
@@ -79,28 +79,40 @@ def load_anchors() -> dict[float, float]:
 
 
 def main() -> None:
-    natural = load_table(ROOT / "experiments/round5_natural/GOLDEN.json")
+    nat_golden = ROOT / "experiments/round5_natural/GOLDEN.json"
+    natural = load_table(nat_golden)
+    natural_fixed = load_table(nat_golden, "fixed_depth")
     structured = load_table(ROOT / "experiments/round4_sweep/GOLDEN.json")
     anchors = load_anchors()
     scales = sorted(set(natural) | set(structured))
 
     print(
-        "| scale | natural identity anchor (eval protocol) | natural trained eval "
-        "PSNR(Y) | natural gain | structured trained eval PSNR(Y) | "
+        "| scale | natural identity anchor (eval protocol) | natural E2 "
+        "(adaptive) eval PSNR(Y) | natural E1 (fixed d3) eval PSNR(Y) | "
+        "E2 gain over identity | structured E2 eval PSNR(Y) | "
         "reference DIV2K E2 PSNR(Y) |"
     )
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|")
     for s in scales:
         nat = natural.get(s)
+        natf = natural_fixed.get(s)
         struc = structured.get(s)
         anchor = anchors.get(s)
         gain = (nat["psnr_mean"] - anchor) if (nat and anchor is not None) else None
         print(
             f"| {s} | {fmt(anchor)} | "
             f"{fmt(nat and nat['psnr_mean'])} | "
+            f"{fmt(natf and natf['psnr_mean'])} | "
             f"{'+' if isinstance(gain, float) and gain >= 0 else ''}{fmt(gain)} | "
             f"{fmt(struc and struc['psnr_mean'])} | "
             f"{fmt(DIV2K_E2_PSNR.get(s))} |"
+        )
+    if natural and natural_fixed:
+        deltas = {s: natural[s]["psnr_mean"] - natural_fixed[s]["psnr_mean"]
+                  for s in sorted(set(natural) & set(natural_fixed))}
+        print(
+            "\nE2-vs-E1 on the natural corpus (adaptive minus fixed d3): "
+            + ", ".join(f"{s:g}:{d:+.2f}" for s, d in deltas.items()) + " dB"
         )
     if natural and anchors:
         band = [anchors[s] for s in sorted(anchors)]
