@@ -401,6 +401,73 @@ def test_round5_natural_sweep_goldens():
     )
 
 
+def test_round5_natural_fixed_arm_golden():
+    """Round-5 natural-corpus E1 (fixed depth-3) arm — the other half of
+    the E1-vs-E2 comparison on 1/f statistics (VERDICT r4 #5). The
+    reference's central claim is that adaptive depth matches fixed-depth
+    quality (experiment_2_adaptive_depth/plots/summary_metrics.csv:1-10 vs
+    experiment_1_constant_depth_3/plots/summary_metrics.csv:1-9, within
+    ~0.3 dB per scale); round 4 reproduced it on the structured corpus
+    (±0.4 dB); this locks the same claim on the natural corpus: per-scale
+    |E2 − E1| ≤ 0.5 dB, both arms trained (left the flat 0.5-shrink val
+    plateau) and both beating the eval-protocol identity anchor."""
+    import csv
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1] / "experiments" / "round5_natural"
+    golden = json.loads((root / "GOLDEN.json").read_text())
+    assert golden["_corpus"]["mode"] == "natural"
+    fixed = golden["fixed_depth"]
+    assert len(fixed) >= 4
+
+    by_scale_fixed = {}
+    for run, pin in fixed.items():
+        metrics = json.loads(
+            (root / "fixed_depth" / "evaluation" / f"{run}_eval" / "metrics.json").read_text()
+        )
+        np.testing.assert_allclose(metrics["psnr_mean"], pin["psnr_mean"], rtol=1e-6)
+        np.testing.assert_allclose(metrics["ssim_mean"], pin["ssim_mean"], rtol=1e-6)
+        rows = list(csv.DictReader(
+            (root / "fixed_depth" / "csv_logs" / run / "epoch_metrics.csv").open()
+        ))
+        assert len(rows) == pin["epochs_ran"]
+        cfg = json.loads(
+            (root / "fixed_depth" / "run_configs" / f"{run}.json").read_text()
+        )
+        assert cfg["depth_override"] == 3 and cfg["max_depth"] == 3
+        # trained, not plateaued (same bar as the adaptive arm)
+        assert pin["val_psnr_final"] >= pin["val_psnr_epoch1"] + 1.0, (
+            f"{run} never left the identity plateau "
+            f"({pin['val_psnr_epoch1']:.2f} -> {pin['val_psnr_final']:.2f} dB)"
+        )
+        scale = float(run.split("scale")[1].split("_")[0])
+        by_scale_fixed[round(scale, 2)] = pin
+
+    anchors_by_scale = {
+        round(float(k), 2): v["psnr_mean"]
+        for k, v in json.loads((root / "IDENTITY_ANCHORS.json").read_text()).items()
+    }
+    adaptive_by_scale = {}
+    for run, pin in golden["adaptive_depth"].items():
+        scale = float(run.split("scale")[1].split("_")[0])
+        adaptive_by_scale[round(scale, 2)] = pin
+
+    assert set(by_scale_fixed) == set(adaptive_by_scale), (
+        "E1 and E2 natural arms must cover the same scales"
+    )
+    for s, pin in by_scale_fixed.items():
+        assert pin["psnr_mean"] > anchors_by_scale[s], (
+            f"scale {s}: fixed-depth eval {pin['psnr_mean']:.2f} dB does not "
+            f"beat the identity anchor {anchors_by_scale[s]:.2f} dB"
+        )
+        delta = adaptive_by_scale[s]["psnr_mean"] - pin["psnr_mean"]
+        assert abs(delta) <= 0.5, (
+            f"scale {s}: adaptive-vs-fixed eval delta {delta:+.3f} dB breaks "
+            "the reference's E1~E2 parity claim on the natural corpus"
+        )
+
+
 def test_round5_c128_quality_golden():
     """Round-5 beat-the-reference arm (VERDICT r4 #8): the --base_channels
     128 run (a width the reference cannot reach — its C is a constant,
